@@ -1,0 +1,33 @@
+"""Test harness config.
+
+All tests run on a virtual 8-device CPU platform
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) — the standard JAX
+pattern for exercising pjit/shard_map sharding without TPU hardware
+(SURVEY.md §4.3). Pallas kernels run in interpret mode on CPU; the
+compiled TPU path is exercised by bench.py on real hardware.
+
+Env vars must be set before the first jax import, hence module top.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin is registered by a sitecustomize at interpreter startup
+# with JAX_PLATFORMS=axon already in the env, so the env-var route is
+# ineffective here; the config update below is applied before any backend
+# initialization and forces the virtual 8-device CPU platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
