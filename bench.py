@@ -1,0 +1,138 @@
+"""Benchmark: LipVQ-VAE action-chunk tokenization throughput on TPU.
+
+North-star metric (BASELINE.json): action chunks tokenized/sec/chip with
+the fused Pallas VQ lookup, vs the reference's eager PyTorch CPU pipeline
+(the reference repo is single-GPU PyTorch with an eager broadcast lookup;
+torch-CPU here is the measured stand-in baseline — the reference publishes
+no numbers, see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def bench_tpu(corpus: np.ndarray, model, variables) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from lipvq_tpu.models.tokenizers.lipvq import LipVQVAE
+
+    # NOTE: under the axon tunnel block_until_ready() returns at enqueue —
+    # timing must force a device->host fetch. Amortize the round-trip
+    # latency by enqueuing k iterations and fetching one scalar at the end.
+    @jax.jit
+    def tokenize_sum(v, x):
+        return jnp.sum(model.apply(v, x, method=LipVQVAE.tokenize))
+
+    x = jnp.asarray(corpus)
+    float(tokenize_sum(variables, x))  # compile + warm
+    k = 20
+    t0 = time.time()
+    for _ in range(k):
+        s = tokenize_sum(variables, x)
+    float(s)  # fetch once; device executed all k serially
+    dt = (time.time() - t0) / k
+    return corpus.shape[0] / dt
+
+
+def bench_torch_cpu(corpus: np.ndarray, latent_dim: int, num_codes: int,
+                    params) -> float:
+    """Reference-equivalent eager torch pipeline (backbone_lfqvae_v5.py
+    encode + broadcast-distance lookup) on CPU, same weights."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+    x_all = torch.from_numpy(corpus)
+
+    def tokenize(x):
+        h = F.gelu(x @ t["enc1_k"] + t["enc1_b"])
+        h = F.gelu(h @ t["enc2_k"] + t["enc2_b"])
+        W = t["W"]
+        absrowsum = W.abs().sum(dim=1, keepdim=True)
+        scale = torch.minimum(
+            torch.tensor(1.0), F.softplus(t["ci"]).unsqueeze(1) / absrowsum
+        )
+        z = torch.sigmoid(h @ (W * scale).T + t["b"])
+        cb = t["codebook"]
+        d = torch.norm(z.unsqueeze(1) - cb.unsqueeze(0), dim=-1)
+        return torch.argmin(d, dim=-1)
+
+    # broadcast distances are O(B*N*D) memory — chunk like the reference's
+    # per-batch eager loop would (training batch 100, icl template)
+    n = x_all.shape[0]
+    chunk = 256
+    with torch.no_grad():
+        tokenize(x_all[:chunk])  # warm up
+        t0 = time.time()
+        for i in range(0, n, chunk):
+            tokenize(x_all[i : i + chunk])
+        dt = time.time() - t0
+    return n / dt
+
+
+def main():
+    feature_dim, latent_dim, num_codes = 12, 208, 1024
+    rng = np.random.default_rng(0)
+    corpus = (rng.standard_normal((1 << 20, feature_dim)) * 0.5).astype(
+        np.float32
+    )
+
+    import jax
+    import jax.numpy as jnp
+    from lipvq_tpu.models.tokenizers.lipvq import LipVQVAE
+
+    n_chips = max(
+        1, len([d for d in jax.devices() if d.platform != "cpu"])
+    ) if jax.default_backend() != "cpu" else 1
+
+    model = LipVQVAE(feature_dim, latent_dim, num_codes=num_codes)
+    # initialize on CPU host (init on-device pays a slow remote compile);
+    # use the XLA lookup path there — pallas on CPU is interpret-only
+    init_model = LipVQVAE(
+        feature_dim, latent_dim, num_codes=num_codes, use_pallas=False
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        v = init_model.init(jax.random.PRNGKey(0), jnp.zeros((128, feature_dim)))
+    print("init done", file=sys.stderr)
+
+    tpu_chunks_per_sec = bench_tpu(corpus, model, jax.device_put(v))
+    per_chip = tpu_chunks_per_sec / n_chips
+    print("tpu bench done", file=sys.stderr)
+
+    p = jax.tree.map(np.asarray, v["params"])
+    flat = {
+        "enc1_k": p["enc1"]["kernel"], "enc1_b": p["enc1"]["bias"],
+        "enc2_k": p["enc2"]["kernel"], "enc2_b": p["enc2"]["bias"],
+        "W": p["to_latent"]["W"], "b": p["to_latent"]["b"],
+        "ci": p["to_latent"]["ci"],
+        "codebook": p["quantizer"]["codebook"],
+    }
+    baseline_corpus = corpus[: 1 << 13]
+    torch_chunks_per_sec = bench_torch_cpu(
+        baseline_corpus, latent_dim, num_codes, flat
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "lipvq_tokenize_chunks_per_sec_per_chip",
+                "value": round(per_chip, 1),
+                "unit": "chunks/s",
+                "vs_baseline": round(per_chip / torch_chunks_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,18 @@
+"""Algorithm registry — importing this package registers all algorithms."""
+
+from lipvq_tpu.algo.base import (
+    Algo,
+    PolicyAlgo,
+    TrainState,
+    algo_factory,
+    register_algo_factory_func,
+)
+import lipvq_tpu.algo.icl  # noqa: F401  (registers icl, icl_mamba)
+
+__all__ = [
+    "Algo",
+    "PolicyAlgo",
+    "TrainState",
+    "algo_factory",
+    "register_algo_factory_func",
+]

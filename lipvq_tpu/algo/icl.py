@@ -1,0 +1,337 @@
+"""ICL (in-context imitation learning) algorithm — jitted TPU train step.
+
+Counterpart of reference algo/icl.py (and algo/icl_mamba.py, which is ~95%
+identical — factored here behind the ``backbone`` kwarg per SURVEY.md
+Appendix B.7). Key semantics preserved:
+
+- batch halving: one loader batch is split in half — first half = context
+  demos, second half = queries (reference icl.py:904-911);
+- the policy trains on NLL of the query actions under the GMM
+  (icl.py:947-974) with ``low_noise_eval=False`` during training;
+- the VQ tokenizer trains via its own AdamW(1e-3, wd 1e-4)
+  (icl.py:885-889): here one jitted step computes grads of
+  ``action_loss + vq_aux_loss`` and routes them through
+  ``optax.multi_transform`` — the stop-gradient boundary on the tokenizer
+  output makes the two loss terms reach disjoint param sets, reproducing
+  the reference's interleaved zero_grad/backward/step exactly;
+- process_batch slices obs to the context length and picks
+  current/future action windows (icl.py:759-794);
+- get_action slices [:, 0, :] when pred_future_acs else [:, -1, :]
+  (icl.py:845-852).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lipvq_tpu.algo.base import (
+    PolicyAlgo,
+    TrainState,
+    optimizer_from_optim_params,
+    register_algo_factory_func,
+)
+from lipvq_tpu.models.distributions import GMMParams, gmm_log_prob, gmm_sample
+from lipvq_tpu.models.obs_nets import obs_spec
+from lipvq_tpu.models.policy_nets import ICLGMMActorNetwork
+
+_MUTABLE = ("batch_stats", "bin_stats", "spectral_stats")
+
+
+@register_algo_factory_func("icl")
+def algo_config_to_class(algo_config):
+    """Reference icl.py:26: transformer+gmm -> ICLTransformer_GMM."""
+    assert algo_config.transformer.enabled
+    if algo_config.gmm.enabled:
+        return ICLTransformerGMM, {}
+    return ICLTransformer, {}
+
+
+@register_algo_factory_func("icl_mamba")
+def mamba_algo_config_to_class(algo_config):
+    assert algo_config.mamba.enabled or True
+    if algo_config.gmm.enabled:
+        return ICLMambaGMM, {}
+    return ICLTransformer, {"backbone": "mamba"}
+
+
+def _seq_section(algo_config, backbone: str):
+    return algo_config.mamba if backbone == "mamba" else algo_config.transformer
+
+
+class ICLTransformerGMM(PolicyAlgo):
+    """ICL training with a Transformer (or Mamba) GMM policy."""
+
+    backbone = "transformer"
+
+    def __init__(self, *args, backbone: str | None = None, **kwargs):
+        if backbone is not None:
+            self.backbone = backbone
+        super().__init__(*args, **kwargs)
+
+    # -- construction ------------------------------------------------------
+    def _create_networks(self):
+        tc = _seq_section(self.algo_config, self.backbone)
+        self.context_length = int(tc.context_length)
+        self.supervise_all_steps = bool(tc.supervise_all_steps)
+        self.pred_future_acs = bool(tc.pred_future_acs)
+        if self.pred_future_acs:
+            assert self.supervise_all_steps
+        self.vq_vae_enabled = bool(tc.vq_vae_enabled)
+
+        spec = obs_spec(self.obs_shapes)
+        group_specs = [("obs", spec)]
+        if self.goal_shapes:
+            group_specs.append(("goal", obs_spec(self.goal_shapes)))
+
+        vq_cfg = self.algo_config.get("vq", {})
+        self.net = ICLGMMActorNetwork(
+            group_specs=tuple(group_specs),
+            ac_dim=self.ac_dim,
+            embed_dim=int(tc.embed_dim),
+            num_layers=int(tc.num_layers),
+            num_heads=int(tc.num_heads),
+            context_length=self.context_length,
+            causal=bool(tc.causal),
+            emb_dropout=float(tc.emb_dropout),
+            attn_dropout=float(tc.attn_dropout),
+            block_output_dropout=float(tc.block_output_dropout),
+            sinusoidal_embedding=bool(tc.sinusoidal_embedding),
+            nn_parameter_for_timesteps=bool(tc.nn_parameter_for_timesteps),
+            activation=str(tc.activation),
+            backbone=self.backbone,
+            action_input_shape=self.ac_dim,
+            vq_vae_enabled=bool(tc.vq_vae_enabled),
+            bin_enabled=bool(tc.bin_enabled),
+            fast_enabled=bool(tc.fast_enabled),
+            ln_act_enabled=bool(tc.ln_act_enabled),
+            vq_num_codes=int(vq_cfg.get("num_codes", 1024)),
+            vq_hidden_dim=int(vq_cfg.get("hidden_dim", 128)),
+            num_modes=int(self.algo_config.gmm.num_modes),
+            min_std=float(self.algo_config.gmm.min_std),
+            std_activation=str(self.algo_config.gmm.std_activation),
+            low_noise_eval=bool(self.algo_config.gmm.low_noise_eval),
+        )
+
+        # initialize params with a dummy batch
+        t = self.context_length
+        dummy_obs = {
+            k: jnp.zeros((2, t) + tuple(shape), jnp.float32)
+            for k, shape in self.obs_shapes.items()
+        }
+        dummy_goal = (
+            {k: jnp.zeros((2, t) + tuple(s), jnp.float32)
+             for k, s in self.goal_shapes.items()}
+            if self.goal_shapes else None
+        )
+        dummy_act = jnp.zeros((2, t, self.ac_dim), jnp.float32)
+        seed = int(self.global_config.train.seed)
+        variables = self.net.init(
+            {"params": jax.random.PRNGKey(seed),
+             "dropout": jax.random.PRNGKey(seed + 1)},
+            dummy_obs, dummy_obs, dummy_act, goal=dummy_goal, train=False,
+            method=ICLGMMActorNetwork.forward_train,
+        )
+        self._params = variables["params"]
+        self._extra_vars = {k: v for k, v in variables.items() if k != "params"}
+
+    def _create_optimizers(self):
+        policy_tx = optimizer_from_optim_params(
+            self.algo_config.optim_params.policy,
+            max_grad_norm=self.global_config.train.max_grad_norm,
+        )
+        if self.vq_vae_enabled:
+            vq_cfg = self.algo_config.get("vq", {})
+            vq_tx = optax.adamw(
+                float(vq_cfg.get("optimizer_lr", 1e-3)),
+                weight_decay=float(vq_cfg.get("optimizer_wd", 1e-4)),
+            )
+
+            def label_fn(params):
+                flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+                def leaf_label(path):
+                    return (
+                        "vq"
+                        if any(
+                            getattr(p, "key", None) == "action_network"
+                            for p in path
+                        )
+                        else "policy"
+                    )
+
+                labels = [leaf_label(path) for path, _ in flat]
+                treedef = jax.tree_util.tree_structure(params)
+                return jax.tree_util.tree_unflatten(treedef, labels)
+
+            tx = optax.multi_transform(
+                {"policy": policy_tx, "vq": vq_tx}, label_fn
+            )
+        else:
+            tx = policy_tx
+        self.tx = tx
+        seed = int(self.global_config.train.seed)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=self._params,
+            opt_state=tx.init(self._params),
+            extra_vars=self._extra_vars,
+            rng=jax.random.PRNGKey(seed + 2),
+        )
+        self._jit_train_step = jax.jit(
+            functools.partial(self._train_step_impl, update=True)
+        )
+        self._jit_val_step = jax.jit(
+            functools.partial(self._train_step_impl, update=False)
+        )
+        self._jit_get_action = jax.jit(self._get_action_impl)
+
+    # -- data prep (host side, numpy) --------------------------------------
+    def process_batch_for_training(self, batch):
+        """Slice context window + pick action targets
+        (reference icl.py:759-794)."""
+        h = self.context_length
+        out = {}
+        out["obs"] = {k: np.asarray(v)[:, :h] for k, v in batch["obs"].items()}
+        out["goal_obs"] = batch.get("goal_obs", None)
+        actions = np.asarray(batch["actions"])
+        if self.supervise_all_steps:
+            ac_start = h - 1 if self.pred_future_acs else 0
+            out["actions"] = actions[:, ac_start : ac_start + h]
+            if self.pred_future_acs:
+                assert out["actions"].shape[1] == h
+        else:
+            out["actions"] = actions[:, h - 1]
+        return out
+
+    # -- jitted step -------------------------------------------------------
+    def _apply_forward(self, params, extra_vars, obs, ctx_obs, ctx_act, goal,
+                      rng, train: bool, low_noise_eval: bool):
+        variables = {"params": params, **extra_vars}
+        mutable = [c for c in _MUTABLE if c in extra_vars] if train else []
+        if not mutable:
+            mutable = False  # empty-list mutable still returns (out, {})
+        out = self.net.apply(
+            variables, obs, ctx_obs, ctx_act, goal=goal, train=train,
+            low_noise_eval=low_noise_eval,
+            rngs={"dropout": rng},
+            mutable=mutable,
+            method=ICLGMMActorNetwork.forward_train,
+        )
+        if mutable:
+            (dists, aux), updates = out
+            new_extra = {**extra_vars, **updates}
+        else:
+            dists, aux = out
+            new_extra = extra_vars
+        return dists, aux, new_extra
+
+    def _train_step_impl(self, state: TrainState, batch, update: bool = True):
+        rng, drop_rng = jax.random.split(state.rng)
+        obs, actions, goal = batch["obs"], batch["actions"], batch["goal_obs"]
+        # split halves: first = context, second = query (icl.py:904-911)
+        some = jax.tree.leaves(obs)[0]
+        mid = some.shape[0] // 2
+        ctx_obs = jax.tree.map(lambda a: a[:mid], obs)
+        qry_obs = jax.tree.map(lambda a: a[mid:], obs)
+        ctx_act, qry_act = actions[:mid], actions[mid:]
+
+        def loss_fn(params):
+            dists, aux, new_extra = self._apply_forward(
+                params, state.extra_vars, qry_obs, ctx_obs, ctx_act, goal,
+                drop_rng, train=update, low_noise_eval=False,
+            )
+            if not self.supervise_all_steps:
+                dists = GMMParams(
+                    means=dists.means[:, -1], scales=dists.scales[:, -1],
+                    logits=dists.logits[:, -1],
+                )
+            lp = gmm_log_prob(dists, qry_act)
+            action_loss = -jnp.mean(lp)
+            total = action_loss + aux
+            return total, (action_loss, aux, new_extra)
+
+        if update:
+            grads, (action_loss, aux, new_extra) = jax.grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            new_state = TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                extra_vars=new_extra, rng=rng,
+            )
+        else:
+            _, (action_loss, aux, _) = loss_fn(state.params)
+            gnorm = jnp.zeros(())
+            new_state = state._replace(rng=rng)
+        metrics = {
+            "action_loss": action_loss,
+            "log_probs": -action_loss,
+            "vq_loss": aux,
+            "policy_grad_norms": gnorm,
+        }
+        return new_state, metrics
+
+    def train_on_batch(self, batch, epoch, validate: bool = False):
+        batch = jax.tree.map(jnp.asarray, batch)
+        if validate:
+            self.state, metrics = self._jit_val_step(self.state, batch)
+        else:
+            self.state, metrics = self._jit_train_step(self.state, batch)
+        return {"losses": metrics}
+
+    def log_info(self, info):
+        log = {
+            "Loss": float(info["losses"]["action_loss"]),
+            "Log_Likelihood": float(info["losses"]["log_probs"]),
+        }
+        if self.vq_vae_enabled:
+            log["VQ_Loss"] = float(info["losses"]["vq_loss"])
+        if "policy_grad_norms" in info["losses"]:
+            log["Policy_Grad_Norms"] = float(info["losses"]["policy_grad_norms"])
+        return log
+
+    # -- inference ---------------------------------------------------------
+    def _get_action_impl(self, state: TrainState, obs, ctx_obs, ctx_act, goal,
+                         key):
+        dists, _, _ = self._apply_forward(
+            state.params, state.extra_vars, obs, ctx_obs, ctx_act, goal,
+            key, train=False, low_noise_eval=True,
+        )
+        out = gmm_sample(dists, key)
+        if self.supervise_all_steps and self.pred_future_acs:
+            return out[:, 0]
+        return out[:, -1]
+
+    def get_action(self, obs_dict, context_batch, goal_dict=None):
+        """obs_dict leaves [B, T, ...]; context_batch holds obs/actions
+        (reference icl.py:827-853)."""
+        rng, key = jax.random.split(self.state.rng)
+        self.state = self.state._replace(rng=rng)
+        act = self._jit_get_action(
+            self.state,
+            jax.tree.map(jnp.asarray, obs_dict),
+            jax.tree.map(jnp.asarray, context_batch["obs"]),
+            jnp.asarray(context_batch["actions"]),
+            jax.tree.map(jnp.asarray, goal_dict) if goal_dict else None,
+            key,
+        )
+        return np.asarray(act)
+
+
+class ICLMambaGMM(ICLTransformerGMM):
+    backbone = "mamba"
+
+
+class ICLTransformer(ICLTransformerGMM):
+    """Non-GMM ICL (deterministic head) — reference ICLTransformer
+    (icl.py:719). Falls back to GMM with 1 mode for now; the reference's
+    robocasa configs always run the GMM variant."""

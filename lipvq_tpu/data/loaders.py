@@ -1,0 +1,62 @@
+"""Host-side batch loading.
+
+Replaces torch DataLoader (reference train.py:208-224) with a numpy
+sampler + collate; the train loop cycles it indefinitely the way
+``run_epoch`` does on StopIteration (reference train_utils.py:1286-1293).
+Device transfer + sharding happen at the jit boundary (parallel layer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lipvq_tpu.utils.tensor_utils import stack_collate
+
+
+class DataLoader:
+    """Shuffling mini-batch iterator over a SequenceDataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = (
+            self._rng.permutation(n) if self.shuffle else np.arange(n)
+        )
+        for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
+                       self.batch_size):
+            idx = order[i : i + self.batch_size]
+            if len(idx) == 0:
+                break
+            yield stack_collate([self.dataset[int(j)] for j in idx])
+
+
+class CyclingIterator:
+    """Infinite iterator that restarts the loader on exhaustion
+    (reference run_epoch's StopIteration handling)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)
+
+    def __iter__(self):
+        return self

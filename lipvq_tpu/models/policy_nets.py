@@ -1,0 +1,199 @@
+"""Policy actor heads (flax).
+
+Counterpart of reference policy_nets.py. The flagship is
+``ICLGMMActorNetwork`` (reference ICLTransformerGMMActorNetwork,
+policy_nets.py:2375-2610, and its Mamba twin :2613): the ICL MIMO
+composite with GMM output heads
+
+    mean/scale: (num_modes, ac_dim), logits: (num_modes,)
+    (reference policy_nets.py:2507-2516)
+
+and distribution assembly with tanh-squashed means + low-noise eval
+(policy_nets.py:2549-2560).
+
+Also: ``MLPActorNetwork`` / ``GMMActorNetwork`` / ``RNNGMMActorNetwork``
+used by the BC family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lipvq_tpu.models.base_nets import MLP, TorchLinear
+from lipvq_tpu.models.distributions import GMMParams, make_gmm
+from lipvq_tpu.models.obs_nets import (
+    ICLMIMOTransformer,
+    ObsSpec,
+    ObservationGroupEncoder,
+    obs_spec,
+)
+
+
+def gmm_output_spec(num_modes: int, ac_dim: int) -> ObsSpec:
+    return obs_spec(
+        {"mean": (num_modes, ac_dim), "scale": (num_modes, ac_dim),
+         "logits": (num_modes,)}
+    )
+
+
+class ICLGMMActorNetwork(nn.Module):
+    """ICL policy with GMM head over a transformer or mamba backbone."""
+
+    group_specs: ObsSpec
+    ac_dim: int
+    embed_dim: int = 512
+    num_layers: int = 6
+    num_heads: int = 8
+    context_length: int = 10
+    causal: bool = False
+    emb_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    block_output_dropout: float = 0.1
+    sinusoidal_embedding: bool = False
+    nn_parameter_for_timesteps: bool = True
+    activation: str = "gelu"
+    backbone: str = "transformer"
+    action_input_shape: int = 12
+    vq_vae_enabled: bool = False
+    bin_enabled: bool = False
+    fast_enabled: bool = False
+    ln_act_enabled: bool = False
+    vq_num_codes: int = 1024
+    vq_hidden_dim: int = 128
+    encoder_cores: ObsSpec = ()
+    num_modes: int = 5
+    min_std: float = 1e-4
+    std_activation: str = "softplus"
+    low_noise_eval: bool = True
+    use_tanh: bool = False
+
+    def setup(self):
+        self.net = ICLMIMOTransformer(
+            group_specs=self.group_specs,
+            output_spec=gmm_output_spec(self.num_modes, self.ac_dim),
+            backbone=self.backbone,
+            embed_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            context_length=self.context_length,
+            causal=self.causal,
+            emb_dropout=self.emb_dropout,
+            attn_dropout=self.attn_dropout,
+            block_output_dropout=self.block_output_dropout,
+            sinusoidal_embedding=self.sinusoidal_embedding,
+            nn_parameter_for_timesteps=self.nn_parameter_for_timesteps,
+            activation=self.activation,
+            action_input_shape=self.action_input_shape,
+            vq_vae_enabled=self.vq_vae_enabled,
+            bin_enabled=self.bin_enabled,
+            fast_enabled=self.fast_enabled,
+            ln_act_enabled=self.ln_act_enabled,
+            vq_num_codes=self.vq_num_codes,
+            vq_hidden_dim=self.vq_hidden_dim,
+            encoder_cores=self.encoder_cores,
+        )
+
+    def forward_train(self, obs, context_obs, actions, goal=None,
+                      train: bool = False, low_noise_eval: bool | None = None):
+        """Return (GMMParams over [B, T], vq_aux_loss).
+
+        Mirrors reference forward_train (policy_nets.py:2518-2581):
+        means tanh-squashed unless use_tanh; eval + low_noise_eval ->
+        sigma = 1e-4.
+        """
+        outputs, aux = self.net(
+            obs, context_obs, actions, goal=goal, train=train
+        )
+        if low_noise_eval is None:
+            low_noise_eval = self.low_noise_eval
+        low_noise = bool(low_noise_eval) and not train
+        dists = make_gmm(
+            outputs["mean"],
+            outputs["scale"],
+            outputs["logits"],
+            min_std=self.min_std,
+            std_activation=self.std_activation,
+            use_tanh_mean=not self.use_tanh,
+            low_noise=low_noise,
+        )
+        return dists, aux
+
+    def __call__(self, obs, context_obs, actions, goal=None,
+                 train: bool = False):
+        """Sample actions [B, T, ac_dim] (reference forward, :2583-2599)."""
+        dists, aux = self.forward_train(
+            obs, context_obs, actions, goal=goal, train=train
+        )
+        key = self.make_rng("sample")
+        from lipvq_tpu.models.distributions import gmm_sample
+
+        return gmm_sample(dists, key), aux
+
+
+class GMMActorNetwork(nn.Module):
+    """MLP GMM actor for BC (reference policy_nets.py:429)."""
+
+    group_specs: ObsSpec
+    ac_dim: int
+    layer_dims: Sequence[int] = (1024, 1024)
+    num_modes: int = 5
+    min_std: float = 1e-4
+    std_activation: str = "softplus"
+    low_noise_eval: bool = True
+    use_tanh: bool = False
+    encoder_cores: ObsSpec = ()
+
+    @nn.compact
+    def forward_train(self, obs, goal=None, train: bool = False):
+        enc = ObservationGroupEncoder(
+            self.group_specs, encoder_cores=self.encoder_cores, name="enc"
+        )
+        groups = {"obs": obs}
+        if goal is not None:
+            groups["goal"] = goal
+        h = enc(train=train, **groups)
+        h = MLP(self.layer_dims, self.layer_dims[-1] if self.layer_dims else 256,
+                activation="relu", name="mlp")(h)
+        m = self.num_modes
+        raw_mean = TorchLinear(m * self.ac_dim, name="mean")(h)
+        raw_scale = TorchLinear(m * self.ac_dim, name="scale")(h)
+        logits = TorchLinear(m, name="logits")(h)
+        raw_mean = raw_mean.reshape(h.shape[0], m, self.ac_dim)
+        raw_scale = raw_scale.reshape(h.shape[0], m, self.ac_dim)
+        return make_gmm(
+            raw_mean, raw_scale, logits,
+            min_std=self.min_std, std_activation=self.std_activation,
+            use_tanh_mean=not self.use_tanh, low_noise=self.low_noise_eval and not train,
+        )
+
+    def __call__(self, obs, goal=None, train: bool = False):
+        dists = self.forward_train(obs, goal=goal, train=train)
+        from lipvq_tpu.models.distributions import gmm_sample
+
+        return gmm_sample(dists, self.make_rng("sample"))
+
+
+class ActorNetwork(nn.Module):
+    """Deterministic MLP actor with tanh output (reference policy_nets.py:34)."""
+
+    group_specs: ObsSpec
+    ac_dim: int
+    layer_dims: Sequence[int] = (1024, 1024)
+    encoder_cores: ObsSpec = ()
+
+    @nn.compact
+    def __call__(self, obs, goal=None, train: bool = False):
+        enc = ObservationGroupEncoder(
+            self.group_specs, encoder_cores=self.encoder_cores, name="enc"
+        )
+        groups = {"obs": obs}
+        if goal is not None:
+            groups["goal"] = goal
+        h = enc(train=train, **groups)
+        h = MLP(self.layer_dims, self.layer_dims[-1] if self.layer_dims else 256,
+                activation="relu", name="mlp")(h)
+        return jnp.tanh(TorchLinear(self.ac_dim, name="out")(h))

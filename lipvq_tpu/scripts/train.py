@@ -1,0 +1,260 @@
+"""Training entry point.
+
+Counterpart of reference scripts/train.py (call stack in SURVEY.md §3.1):
+config load/override -> obs-utils init -> dataset metadata -> algo factory
+-> data loading -> epoch loop (train / validate / checkpoint / log).
+Closed-loop rollout evaluation engages when an environment adapter is
+available for the dataset's env_meta (lipvq_tpu/envs); headless training
+works without any simulator installed.
+
+Usage:
+    python -m lipvq_tpu.scripts.train --config cfg.json [--dataset D]
+        [--name N] [--debug] [--eval_only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+import lipvq_tpu.algo  # noqa: F401 — populate registry
+from lipvq_tpu.algo.base import algo_factory
+from lipvq_tpu.config import config_factory
+from lipvq_tpu.utils import file_utils as FileUtils
+from lipvq_tpu.utils import obs_utils as ObsUtils
+from lipvq_tpu.utils import train_utils as TrainUtils
+from lipvq_tpu.utils.lang_utils import LangEncoder
+from lipvq_tpu.utils.log_utils import DataLogger, PrintLogger
+
+
+def train(config, eval_only: bool = False):
+    """Main train loop (reference train.py:47-485)."""
+    np.random.seed(config.train.seed)
+
+    print("\n============= New Training Run with Config =============")
+    print(config.dump())
+
+    log_dir, ckpt_dir, video_dir = TrainUtils.get_exp_dir(config)
+    if config.experiment.logging.terminal_output_to_txt:
+        logger = PrintLogger(os.path.join(log_dir, "log.txt"))
+        sys.stdout = logger
+        sys.stderr = logger
+
+    ObsUtils.initialize_obs_utils_with_config(config)
+
+    dataset_path = os.path.expanduser(config.train.data)
+    env_meta = FileUtils.get_env_metadata_from_dataset(dataset_path)
+    shape_meta = FileUtils.get_shape_metadata_from_dataset(
+        dataset_path,
+        all_obs_keys=config.all_obs_keys,
+        action_keys=tuple(config.train.action_keys),
+    )
+
+    data_logger = DataLogger(
+        log_dir, config,
+        log_tb=config.experiment.logging.log_tb,
+        log_wandb=config.experiment.logging.log_wandb,
+    )
+
+    model = algo_factory(
+        config.algo_name, config,
+        obs_key_shapes=shape_meta["all_shapes"],
+        ac_dim=shape_meta["ac_dim"],
+    )
+
+    if config.experiment.ckpt_path is not None and os.path.isfile(
+        config.experiment.ckpt_path
+    ):
+        print(f"Loading model weights from {config.experiment.ckpt_path}")
+        ckpt = FileUtils.load_checkpoint_dict(config.experiment.ckpt_path)
+        model.deserialize(ckpt["model"])
+
+    lang_encoder = LangEncoder()
+    train_ds, valid_ds = TrainUtils.load_data_for_training(
+        config, obs_keys=shape_meta["all_obs_keys"], lang_encoder=lang_encoder
+    )
+    print(f"\n============= Training Dataset =============")
+    print(f"{len(train_ds)} sequences / {train_ds.n_demos} demos")
+
+    train_loader, valid_loader, context_loader = TrainUtils.make_loaders(
+        config, train_ds, valid_ds
+    )
+
+    # optional rollout envs
+    envs = {}
+    rollout_available = False
+    if config.experiment.rollout.enabled:
+        try:
+            from lipvq_tpu.envs.env_factory import create_env_from_metadata
+
+            env = create_env_from_metadata(env_meta)
+            envs[env.name] = env
+            rollout_available = True
+        except Exception as e:
+            print(f"Rollout disabled (no env adapter): {type(e).__name__}: {e}")
+
+    best_valid_loss = None
+    best_return = {}
+    best_success_rate = {}
+    last_ckpt_time = time.time()
+
+    num_epochs = 0 if eval_only else config.train.num_epochs
+    for epoch in range(1, num_epochs + 1):
+        step_log = TrainUtils.run_epoch(
+            model, train_loader, epoch,
+            num_steps=config.experiment.epoch_every_n_steps,
+        )
+        model.on_epoch_end(epoch)
+
+        print(f"Train Epoch {epoch}")
+        print(json.dumps(step_log, sort_keys=True, indent=4))
+        for k, v in step_log.items():
+            if k.startswith("Time_"):
+                data_logger.record(f"Timing_Stats/Train_{k[5:]}", v, epoch)
+            else:
+                data_logger.record(f"Train/{k}", v, epoch)
+
+        # save checkpoint policy (reference train.py:283-294)
+        epoch_ckpt_name = f"model_epoch_{epoch}"
+        should_save_ckpt = False
+        if config.experiment.save.enabled:
+            n_ep = config.experiment.save.every_n_epochs
+            t_sec = config.experiment.save.every_n_seconds
+            if n_ep is not None and epoch % n_ep == 0:
+                should_save_ckpt = True
+            if t_sec is not None and time.time() - last_ckpt_time > t_sec:
+                should_save_ckpt = True
+            if epoch in (config.experiment.save.epochs or []):
+                should_save_ckpt = True
+
+        # validation
+        if config.experiment.validate and valid_loader is not None:
+            valid_log = TrainUtils.run_epoch(
+                model, valid_loader, epoch, validate=True,
+                num_steps=config.experiment.validation_epoch_every_n_steps,
+            )
+            for k, v in valid_log.items():
+                key = f"Timing_Stats/Valid_{k[5:]}" if k.startswith("Time_") else f"Valid/{k}"
+                data_logger.record(key, v, epoch)
+            print(f"Validation Epoch {epoch}")
+            print(json.dumps(valid_log, sort_keys=True, indent=4))
+            valid_loss = valid_log.get("Loss")
+            if valid_loss is not None and (
+                best_valid_loss is None or valid_loss <= best_valid_loss
+            ):
+                best_valid_loss = valid_loss
+                if config.experiment.save.on_best_validation:
+                    epoch_ckpt_name += f"_best_validation_{valid_loss}"
+                    should_save_ckpt = True
+
+        # rollout evaluation (reference train.py:336-400)
+        rollout_check = epoch % config.experiment.rollout.rate == 0
+        if (
+            rollout_available
+            and rollout_check
+            and epoch >= config.experiment.rollout.warmstart
+        ):
+            from lipvq_tpu.envs.rollout import icl_rollout_with_stats
+            from lipvq_tpu.algo.rollout_policy import ICLRolloutPolicy
+
+            context_batch = next(iter(context_loader))
+            context_batch = model.process_batch_for_training(context_batch)
+            policy = ICLRolloutPolicy(
+                model,
+                action_normalization_stats=train_ds.get_action_normalization_stats(),
+                lang_encoder=lang_encoder,
+            )
+            all_rollout_logs, video_paths = icl_rollout_with_stats(
+                policy=policy,
+                envs=envs,
+                context_batch=context_batch,
+                horizon=config.experiment.rollout.horizon,
+                num_episodes=config.experiment.rollout.n,
+                render=config.experiment.render,
+                video_dir=video_dir if config.experiment.render_video else None,
+                epoch=epoch,
+                video_skip=config.experiment.video_skip,
+                terminate_on_success=config.experiment.rollout.terminate_on_success,
+            )
+            for env_name, rollout_logs in all_rollout_logs.items():
+                for k, v in rollout_logs.items():
+                    if k.startswith("Time_"):
+                        data_logger.record(
+                            f"Timing_Stats/Rollout_{env_name}_{k[5:]}", v, epoch
+                        )
+                    else:
+                        data_logger.record(
+                            f"Rollout/{k}/{env_name}", v, epoch, log_stats=True
+                        )
+            (
+                should_save_by_rollout, epoch_ckpt_name,
+                best_return, best_success_rate,
+            ) = TrainUtils.should_save_from_rollout_logs(
+                all_rollout_logs, best_return, best_success_rate,
+                epoch_ckpt_name,
+                config.experiment.save.on_best_rollout_return,
+                config.experiment.save.on_best_rollout_success_rate,
+            )
+            should_save_ckpt = should_save_ckpt or should_save_by_rollout
+
+        if should_save_ckpt:
+            path = os.path.join(ckpt_dir, epoch_ckpt_name + ".ckpt")
+            FileUtils.save_checkpoint(
+                path, model, config,
+                env_meta=env_meta, shape_meta=shape_meta,
+                action_normalization_stats=train_ds.get_action_normalization_stats(),
+            )
+            print(f"save checkpoint to {path}")
+            last_ckpt_time = time.time()
+
+    data_logger.close()
+    return ckpt_dir
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--algo", type=str, default=None)
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--dataset", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--eval_only", action="store_true")
+    ns = parser.parse_args(args)
+
+    with open(ns.config) as f:
+        ext_cfg = json.load(f)
+    algo_name = ns.algo or ext_cfg.get("algo_name")
+    config = config_factory(algo_name, ext_cfg)
+
+    with config.values_unlocked():
+        if ns.dataset is not None:
+            config.train.data = ns.dataset
+        if ns.name is not None:
+            config.experiment.name = ns.name
+        if ns.output_dir is not None:
+            config.train.output_dir = ns.output_dir
+        if ns.debug:
+            config.experiment.epoch_every_n_steps = 3
+            config.experiment.validation_epoch_every_n_steps = 3
+            config.train.num_epochs = 2
+            config.experiment.rollout.n = 2
+            config.experiment.rollout.horizon = 10
+            config.experiment.rollout.rate = 1
+            config.experiment.save.every_n_epochs = 1
+
+    try:
+        train(config, eval_only=ns.eval_only)
+    except Exception:
+        print(f"run failed with error:\n{traceback.format_exc()}")
+        raise
+
+
+if __name__ == "__main__":
+    main()

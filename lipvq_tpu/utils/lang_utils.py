@@ -1,0 +1,86 @@
+"""Language embedding encoder.
+
+Counterpart of reference lang_utils.py:5-36 (CLIP ViT-L/14 text encoder,
+768-d output, cached per string). TPU-native: when HuggingFace CLIP weights
+are available locally, the text tower runs through transformers on CPU (the
+embedding is computed once per demo at dataset-load time — not a hot path);
+in hermetic environments without the pretrained weights (this build
+environment has zero egress) it falls back to a *deterministic* seeded
+random-projection embedding so the full pipeline stays runnable — clearly
+logged, and bit-stable across runs/hosts so determinism tests hold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+
+import numpy as np
+
+LANG_EMB_DIM = 768
+_CLIP_NAME = "openai/clip-vit-large-patch14"
+
+logger = logging.getLogger(__name__)
+
+
+class LangEncoder:
+    def __init__(self, model_name: str = _CLIP_NAME):
+        self.model_name = model_name
+        self._cache: dict[str, np.ndarray] = {}
+        self._model = None
+        self._tokenizer = None
+        self._backend = None
+
+    def _load(self):
+        if self._backend is not None:
+            return
+        try:
+            from transformers import AutoTokenizer, CLIPTextModelWithProjection
+
+            self._tokenizer = AutoTokenizer.from_pretrained(self.model_name)
+            self._model = CLIPTextModelWithProjection.from_pretrained(
+                self.model_name
+            )
+            self._model.eval()
+            self._backend = "clip"
+            logger.info("LangEncoder: using CLIP text tower %s", self.model_name)
+        except Exception as e:  # no weights cached / no network
+            self._backend = "hash"
+            logger.warning(
+                "LangEncoder: CLIP weights unavailable (%s); using "
+                "deterministic hash-projection embeddings. Closed-loop parity "
+                "with reference checkpoints requires real CLIP embeddings.",
+                type(e).__name__,
+            )
+
+    def _hash_embed(self, text: str) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.sha256(text.encode()).digest()[:8], "little"
+        )
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(LANG_EMB_DIM).astype(np.float32)
+        return v / np.linalg.norm(v)
+
+    def get_lang_emb(self, lang):
+        """str | list[str] -> [768] | [B, 768] float32."""
+        single = isinstance(lang, str)
+        texts = [lang] if single else list(lang)
+        missing = [t for t in texts if t not in self._cache]
+        if missing:
+            self._load()
+            if self._backend == "clip":
+                import torch
+
+                with torch.no_grad():
+                    toks = self._tokenizer(
+                        missing, padding=True, return_tensors="pt"
+                    )
+                    out = self._model(**toks)
+                    embs = out.text_embeds.float().numpy()
+                for t, e in zip(missing, embs):
+                    self._cache[t] = e.astype(np.float32)
+            else:
+                for t in missing:
+                    self._cache[t] = self._hash_embed(t)
+        out = np.stack([self._cache[t] for t in texts], axis=0)
+        return out[0] if single else out

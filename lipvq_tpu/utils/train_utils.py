@@ -1,0 +1,161 @@
+"""Training-loop utilities.
+
+Counterpart of reference train_utils.py:
+- ``dataset_factory`` / ``load_data_for_training`` (reference :94,164)
+- ``run_epoch`` (reference :1238): fixed num_steps per epoch, cycling the
+  loader on exhaustion, per-phase wall-clock timers emitted as
+  ``Time_*`` minutes (reference :1279-1328)
+- checkpoint policy helpers (reference :1112-1235)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+
+from lipvq_tpu.data.dataset import SequenceDataset
+from lipvq_tpu.data.loaders import CyclingIterator, DataLoader
+
+
+def dataset_factory(config, obs_keys, filter_by_attribute=None,
+                    dataset_path=None, lang_encoder=None) -> SequenceDataset:
+    """Build a SequenceDataset from config (reference train_utils.py:164-218)."""
+    if dataset_path is None:
+        dataset_path = config.train.data
+    return SequenceDataset(
+        hdf5_path=dataset_path,
+        obs_keys=obs_keys,
+        dataset_keys=tuple(config.train.dataset_keys),
+        action_keys=tuple(config.train.action_keys),
+        action_config=config.train.action_config.to_dict()
+        if hasattr(config.train.action_config, "to_dict")
+        else dict(config.train.action_config),
+        frame_stack=config.train.frame_stack,
+        seq_length=config.train.seq_length,
+        pad_frame_stack=config.train.pad_frame_stack,
+        pad_seq_length=config.train.pad_seq_length,
+        goal_mode=config.train.goal_mode,
+        hdf5_cache_mode=config.train.hdf5_cache_mode,
+        hdf5_use_swmr=config.train.hdf5_use_swmr,
+        filter_by_attribute=filter_by_attribute,
+        load_next_obs=config.train.hdf5_load_next_obs,
+        lang_encoder=lang_encoder,
+    )
+
+
+def load_data_for_training(config, obs_keys, lang_encoder=None):
+    """(train_dataset, valid_dataset) (reference train_utils.py:94-161)."""
+    train_filter = config.train.hdf5_filter_key
+    valid_filter = config.train.hdf5_validation_filter_key
+    if config.experiment.validate:
+        assert valid_filter is not None or True  # fall back to same data
+    train_ds = dataset_factory(
+        config, obs_keys, filter_by_attribute=train_filter,
+        lang_encoder=lang_encoder,
+    )
+    valid_ds = None
+    if config.experiment.validate:
+        valid_ds = dataset_factory(
+            config, obs_keys, filter_by_attribute=valid_filter,
+            lang_encoder=lang_encoder,
+        )
+        valid_ds.set_action_normalization_stats(
+            train_ds.get_action_normalization_stats()
+        )
+    return train_ds, valid_ds
+
+
+def run_epoch(model, data_loader, epoch: int, validate: bool = False,
+              num_steps: int | None = None, obs_normalization_stats=None):
+    """One epoch of fixed gradient steps (reference train_utils.py:1238-1352).
+
+    Returns step_log with averaged losses + ``Time_*`` phase minutes.
+    """
+    it = data_loader if isinstance(data_loader, CyclingIterator) else CyclingIterator(data_loader)
+    if num_steps is None:
+        num_steps = len(data_loader.loader if isinstance(data_loader, CyclingIterator) else data_loader)
+
+    step_log_all = defaultdict(list)
+    timing = {"Data_Loading": 0.0, "Process_Batch": 0.0, "Train_Batch": 0.0,
+              "Log_Info": 0.0}
+
+    for _ in range(num_steps):
+        t0 = time.time()
+        batch = next(it)
+        timing["Data_Loading"] += time.time() - t0
+
+        t0 = time.time()
+        input_batch = model.process_batch_for_training(batch)
+        timing["Process_Batch"] += time.time() - t0
+
+        t0 = time.time()
+        info = model.train_on_batch(input_batch, epoch, validate=validate)
+        timing["Train_Batch"] += time.time() - t0
+
+        t0 = time.time()
+        step_log = model.log_info(info)
+        for k, v in step_log.items():
+            step_log_all[k].append(v)
+        timing["Log_Info"] += time.time() - t0
+
+    out = {k: float(np.mean(v)) for k, v in step_log_all.items()}
+    for k, v in timing.items():
+        out[f"Time_{k}"] = v / 60.0
+    return out
+
+
+def get_exp_dir(config, auto_remove_exp_dir: bool = False):
+    """Create output dir tree: log/ models/ videos/
+    (reference train_utils.py:32-90)."""
+    base = os.path.expanduser(config.train.output_dir)
+    t_str = time.strftime("%Y%m%d%H%M%S")
+    exp_dir = os.path.join(base, config.experiment.name, t_str)
+    log_dir = os.path.join(exp_dir, "logs")
+    ckpt_dir = os.path.join(exp_dir, "models")
+    video_dir = os.path.join(exp_dir, "videos")
+    for d in (log_dir, ckpt_dir, video_dir):
+        os.makedirs(d, exist_ok=True)
+    return log_dir, ckpt_dir, video_dir
+
+
+def should_save_from_rollout_logs(rollout_logs, best_return, best_success_rate,
+                                  epoch_ckpt_name, save_on_best_rollout_return,
+                                  save_on_best_rollout_success_rate):
+    """Checkpoint decision from rollout stats (reference train_utils.py:1112)."""
+    should_save = False
+    for env_name, logs in rollout_logs.items():
+        if logs.get("Return", -np.inf) > best_return.get(env_name, -np.inf):
+            best_return[env_name] = logs["Return"]
+            if save_on_best_rollout_return:
+                epoch_ckpt_name += f"_{env_name}_return_{logs['Return']}"
+                should_save = True
+        sr = logs.get("Success_Rate", -1.0)
+        if sr > best_success_rate.get(env_name, -1.0):
+            best_success_rate[env_name] = sr
+            if save_on_best_rollout_success_rate:
+                epoch_ckpt_name += f"_{env_name}_success_{sr}"
+                should_save = True
+    return should_save, epoch_ckpt_name, best_return, best_success_rate
+
+
+def make_loaders(config, train_ds, valid_ds):
+    train_loader = DataLoader(
+        train_ds, batch_size=config.train.batch_size, shuffle=True,
+        seed=config.train.seed,
+    )
+    valid_loader = None
+    if valid_ds is not None:
+        valid_loader = DataLoader(
+            valid_ds, batch_size=config.train.batch_size, shuffle=True,
+            seed=config.train.seed + 1,
+        )
+    # rollout context loader: batch_size 1 over the training set
+    # (reference train.py:217-224 — eval conditions on one training demo)
+    context_loader = DataLoader(
+        train_ds, batch_size=1, shuffle=True, seed=config.train.seed + 2,
+        drop_last=False,
+    )
+    return train_loader, valid_loader, context_loader
