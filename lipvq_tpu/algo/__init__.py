@@ -8,6 +8,7 @@ from lipvq_tpu.algo.base import (
     register_algo_factory_func,
 )
 import lipvq_tpu.algo.icl  # noqa: F401  (registers icl, icl_mamba)
+import lipvq_tpu.algo.bc  # noqa: F401  (registers bc)
 
 __all__ = [
     "Algo",

@@ -1,0 +1,89 @@
+"""Rollout policy wrappers.
+
+Counterpart of reference algo.py RolloutPolicy (:613) / ICLRolloutPolicy
+(:710): observation preparation (modality processing, optional obs
+normalization, lang-emb injection, batch/time dims), jitted get_action,
+action unnormalization + rot_6d -> axis-angle conversion
+(reference algo.py:739-805).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lipvq_tpu.utils import obs_utils as ObsUtils
+from lipvq_tpu.utils.action_utils import rot_6d_to_axis_angle, vector_to_action_dict
+from lipvq_tpu.utils.obs_utils import LANG_EMB_KEY
+
+
+class RolloutPolicy:
+    """Wrap a trained algo for closed-loop env stepping."""
+
+    def __init__(self, policy, obs_normalization_stats=None,
+                 action_normalization_stats=None, lang_encoder=None):
+        self.policy = policy
+        self.obs_normalization_stats = obs_normalization_stats
+        self.action_normalization_stats = action_normalization_stats
+        self.lang_encoder = lang_encoder
+        self._ep_lang_emb = None
+
+    def start_episode(self, lang=None):
+        """Cache the episode language embedding (reference algo.py:730-737)."""
+        if lang is not None and self.lang_encoder is not None:
+            self._ep_lang_emb = np.asarray(
+                self.lang_encoder.get_lang_emb(lang), np.float32
+            )
+        else:
+            self._ep_lang_emb = None
+
+    def _prepare_observation(self, ob: dict) -> dict:
+        """Process + normalize + lang emb + batch dim
+        (reference algo.py:739-762). Obs leaves arrive [T, ...] from
+        FrameStackWrapper (or [...] unstacked)."""
+        ob = ObsUtils.process_obs_dict(ob)
+        if self.obs_normalization_stats is not None:
+            ob = ObsUtils.normalize_dict(ob, self.obs_normalization_stats)
+        if self._ep_lang_emb is not None:
+            some = next(iter(ob.values()))
+            t = some.shape[0] if some.ndim >= 2 else 1
+            ob[LANG_EMB_KEY] = np.tile(self._ep_lang_emb[None], (t, 1))
+        return {k: np.asarray(v, np.float32)[None] for k, v in ob.items()}
+
+    def _postprocess_action(self, ac: np.ndarray) -> np.ndarray:
+        """Unnormalize + rot_6d conversion (reference algo.py:786-805)."""
+        if self.action_normalization_stats is None:
+            return ac
+        stats = self.action_normalization_stats
+        action_keys = list(stats.keys())
+        shapes = {
+            k: stats[k]["offset"].reshape(-1).shape for k in action_keys
+        }
+        ac_dict = vector_to_action_dict(ac, shapes, action_keys)
+        for k in action_keys:
+            off = np.asarray(stats[k]["offset"]).reshape(-1)
+            sc = np.asarray(stats[k]["scale"]).reshape(-1)
+            ac_dict[k] = ac_dict[k] * sc + off
+        parts = []
+        for k in action_keys:
+            v = ac_dict[k]
+            if k.endswith("rot_6d"):
+                v = rot_6d_to_axis_angle(v)
+            parts.append(v)
+        return np.concatenate(parts, axis=-1)
+
+    def __call__(self, ob, goal=None):
+        ob = self._prepare_observation(ob)
+        goal = self._prepare_observation(goal) if goal is not None else None
+        ac = self.policy.get_action(ob, goal_dict=goal)
+        return self._postprocess_action(np.asarray(ac)[0])
+
+
+class ICLRolloutPolicy(RolloutPolicy):
+    """ICL variant: threads the context batch through get_action
+    (reference algo.py:710-810; __call__ takes context_batch :768)."""
+
+    def __call__(self, ob, context_batch, goal=None):
+        ob = self._prepare_observation(ob)
+        goal = self._prepare_observation(goal) if goal is not None else None
+        ac = self.policy.get_action(ob, context_batch, goal_dict=goal)
+        return self._postprocess_action(np.asarray(ac)[0])

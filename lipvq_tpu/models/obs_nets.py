@@ -306,6 +306,75 @@ class ICLObservationGroupEncoder(nn.Module):
         return obs_feat, ctx_obs_feat, ctx_act_feat, aux_loss
 
 
+class MIMOTransformer(nn.Module):
+    """Non-ICL MIMO transformer: encode obs per timestep -> embed +
+    positional -> GPT over T tokens -> decode each timestep
+    (reference obs_nets.py MIMO_Transformer:1802 — used by the BC
+    transformer baselines, SURVEY.md Appendix B.1)."""
+
+    group_specs: ObsSpec
+    output_spec: ObsSpec
+    embed_dim: int = 512
+    num_layers: int = 6
+    num_heads: int = 8
+    context_length: int = 10
+    causal: bool = True
+    emb_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    block_output_dropout: float = 0.1
+    sinusoidal_embedding: bool = False
+    nn_parameter_for_timesteps: bool = True
+    activation: str = "gelu"
+    encoder_cores: ObsSpec = ()
+
+    def setup(self):
+        self.encoder = ObservationGroupEncoder(
+            self.group_specs, feature_activation=None,
+            encoder_cores=self.encoder_cores,
+        )
+        self.embed_encoder = TorchLinear(self.embed_dim)
+        self.embed_ln = nn.LayerNorm()
+        self.embed_drop = nn.Dropout(self.emb_dropout)
+        if self.nn_parameter_for_timesteps:
+            self.embed_timestep = self.param(
+                "embed_timestep", jax.nn.initializers.zeros,
+                (1, self.context_length, self.embed_dim), jnp.float32,
+            )
+        self.transformer = GPTBackbone(
+            embed_dim=self.embed_dim,
+            context_length=self.context_length,
+            causal=self.causal,
+            attn_dropout=self.attn_dropout,
+            block_output_dropout=self.block_output_dropout,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            activation=self.activation,
+        )
+        self.decoder = ObservationDecoder(self.output_spec)
+
+    def __call__(self, obs, goal=None, train: bool = False):
+        some_leaf = jax.tree.leaves(obs)[0]
+        b, t = some_leaf.shape[:2]
+        flat = lambda tree: jax.tree.map(
+            lambda a: a.reshape((b * t,) + a.shape[2:]), tree
+        )
+        groups = {"obs": flat(obs)}
+        if goal is not None:
+            groups["goal"] = flat(goal)
+        feats = self.encoder(train=train, **groups).reshape(b, t, -1)
+        emb = self.embed_encoder(feats)
+        if self.sinusoidal_embedding:
+            ts = jnp.broadcast_to(
+                jnp.arange(t, dtype=jnp.float32)[None, :], (b, t)
+            )
+            emb = emb + sinusoidal_position_encoding(ts, self.embed_dim)
+        elif self.nn_parameter_for_timesteps:
+            emb = emb + self.embed_timestep[:, :t]
+        emb = self.embed_drop(self.embed_ln(emb), deterministic=not train)
+        hidden = self.transformer(emb, train=train)
+        return self.decoder(hidden)
+
+
 class ICLMIMOTransformer(nn.Module):
     """ICL composite: 3-stream embedding -> interleave -> backbone -> decode
     (reference obs_nets.py:2336-2611 for the GPT variant; the Mamba variant

@@ -177,6 +177,136 @@ class GMMActorNetwork(nn.Module):
         return gmm_sample(dists, self.make_rng("sample"))
 
 
+class TransformerGMMActorNetwork(nn.Module):
+    """Non-ICL transformer GMM policy over obs sequences
+    (reference policy_nets.py TransformerGMMActorNetwork:1912 — the BC
+    transformer baseline)."""
+
+    group_specs: ObsSpec
+    ac_dim: int
+    embed_dim: int = 512
+    num_layers: int = 6
+    num_heads: int = 8
+    context_length: int = 10
+    causal: bool = True
+    emb_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    block_output_dropout: float = 0.1
+    sinusoidal_embedding: bool = False
+    nn_parameter_for_timesteps: bool = True
+    activation: str = "gelu"
+    encoder_cores: ObsSpec = ()
+    num_modes: int = 5
+    min_std: float = 1e-4
+    std_activation: str = "softplus"
+    low_noise_eval: bool = True
+    use_tanh: bool = False
+
+    def setup(self):
+        from lipvq_tpu.models.obs_nets import MIMOTransformer
+
+        self.net = MIMOTransformer(
+            group_specs=self.group_specs,
+            output_spec=gmm_output_spec(self.num_modes, self.ac_dim),
+            embed_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            context_length=self.context_length,
+            causal=self.causal,
+            emb_dropout=self.emb_dropout,
+            attn_dropout=self.attn_dropout,
+            block_output_dropout=self.block_output_dropout,
+            sinusoidal_embedding=self.sinusoidal_embedding,
+            nn_parameter_for_timesteps=self.nn_parameter_for_timesteps,
+            activation=self.activation,
+            encoder_cores=self.encoder_cores,
+        )
+
+    def forward_train(self, obs, goal=None, train: bool = False,
+                      low_noise_eval: bool | None = None):
+        outputs = self.net(obs, goal=goal, train=train)
+        if low_noise_eval is None:
+            low_noise_eval = self.low_noise_eval
+        return make_gmm(
+            outputs["mean"], outputs["scale"], outputs["logits"],
+            min_std=self.min_std, std_activation=self.std_activation,
+            use_tanh_mean=not self.use_tanh,
+            low_noise=bool(low_noise_eval) and not train,
+        )
+
+    def __call__(self, obs, goal=None, train: bool = False):
+        from lipvq_tpu.models.distributions import gmm_sample
+
+        dists = self.forward_train(obs, goal=goal, train=train)
+        return gmm_sample(dists, self.make_rng("sample"))
+
+
+class _LSTM(nn.Module):
+    hidden_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = nn.RNN(
+                nn.OptimizedLSTMCell(features=self.hidden_dim),
+                time_major=False, name=f"lstm_{i}",
+            )(x)
+        return x
+
+
+class RNNGMMActorNetwork(nn.Module):
+    """RNN GMM policy (reference policy_nets.py RNNGMMActorNetwork:783)."""
+
+    group_specs: ObsSpec
+    ac_dim: int
+    hidden_dim: int = 400
+    num_layers: int = 2
+    num_modes: int = 5
+    min_std: float = 1e-4
+    std_activation: str = "softplus"
+    low_noise_eval: bool = True
+    use_tanh: bool = False
+    encoder_cores: ObsSpec = ()
+
+    @nn.compact
+    def forward_train(self, obs, goal=None, train: bool = False,
+                      low_noise_eval: bool | None = None):
+        some = jax.tree.leaves(obs)[0]
+        b, t = some.shape[:2]
+        enc = ObservationGroupEncoder(
+            self.group_specs, encoder_cores=self.encoder_cores, name="enc"
+        )
+        flat = jax.tree.map(lambda a: a.reshape((b * t,) + a.shape[2:]), obs)
+        groups = {"obs": flat}
+        if goal is not None:
+            groups["goal"] = jax.tree.map(
+                lambda a: a.reshape((b * t,) + a.shape[2:]), goal
+            )
+        h = enc(train=train, **groups).reshape(b, t, -1)
+        h = _LSTM(self.hidden_dim, self.num_layers, name="rnn")(h)
+        m = self.num_modes
+        raw_mean = TorchLinear(m * self.ac_dim, name="mean")(h)
+        raw_scale = TorchLinear(m * self.ac_dim, name="scale")(h)
+        logits = TorchLinear(m, name="logits")(h)
+        raw_mean = raw_mean.reshape(b, t, m, self.ac_dim)
+        raw_scale = raw_scale.reshape(b, t, m, self.ac_dim)
+        if low_noise_eval is None:
+            low_noise_eval = self.low_noise_eval
+        return make_gmm(
+            raw_mean, raw_scale, logits,
+            min_std=self.min_std, std_activation=self.std_activation,
+            use_tanh_mean=not self.use_tanh,
+            low_noise=bool(low_noise_eval) and not train,
+        )
+
+    def __call__(self, obs, goal=None, train: bool = False):
+        from lipvq_tpu.models.distributions import gmm_sample
+
+        dists = self.forward_train(obs, goal=goal, train=train)
+        return gmm_sample(dists, self.make_rng("sample"))
+
+
 class ActorNetwork(nn.Module):
     """Deterministic MLP actor with tanh output (reference policy_nets.py:34)."""
 

@@ -181,6 +181,7 @@ def train(config, eval_only: bool = False):
                 epoch=epoch,
                 video_skip=config.experiment.video_skip,
                 terminate_on_success=config.experiment.rollout.terminate_on_success,
+                frame_stack=config.train.frame_stack,
             )
             for env_name, rollout_logs in all_rollout_logs.items():
                 for k, v in rollout_logs.items():
