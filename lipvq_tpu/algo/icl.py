@@ -39,7 +39,7 @@ from lipvq_tpu.models.distributions import GMMParams, gmm_log_prob, gmm_sample
 from lipvq_tpu.models.obs_nets import obs_spec
 from lipvq_tpu.models.policy_nets import ICLGMMActorNetwork
 
-_MUTABLE = ("batch_stats", "bin_stats", "spectral_stats")
+_MUTABLE = ("batch_stats", "bin_stats", "spectral_stats", "vq_stats")
 
 
 @register_algo_factory_func("icl")
@@ -89,6 +89,7 @@ class ICLTransformerGMM(PolicyAlgo):
             group_specs.append(("goal", obs_spec(self.goal_shapes)))
 
         vq_cfg = self.algo_config.get("vq", {})
+        self.vq_ema = bool(vq_cfg.get("ema_codebook", False))
         self.net = ICLGMMActorNetwork(
             group_specs=tuple(group_specs),
             ac_dim=self.ac_dim,
@@ -111,6 +112,8 @@ class ICLTransformerGMM(PolicyAlgo):
             ln_act_enabled=bool(tc.ln_act_enabled),
             vq_num_codes=int(vq_cfg.get("num_codes", 1024)),
             vq_hidden_dim=int(vq_cfg.get("hidden_dim", 128)),
+            vq_ema_codebook=self.vq_ema,
+            vq_ema_decay=float(vq_cfg.get("ema_decay", 0.99)),
             num_modes=int(self.algo_config.gmm.num_modes),
             min_std=float(self.algo_config.gmm.min_std),
             std_activation=str(self.algo_config.gmm.std_activation),
@@ -263,6 +266,33 @@ class ICLTransformerGMM(PolicyAlgo):
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
+            if self.vq_vae_enabled and self.vq_ema:
+                from lipvq_tpu.models.tokenizers.lipvq import apply_ema_codebook
+
+                vq_stats = new_extra["vq_stats"]
+                flat_stats = jax.tree_util.tree_leaves_with_path(vq_stats)
+                stat_map = {
+                    path[-1].key: leaf for path, leaf in flat_stats
+                }
+                tok_params = params["net"]["encoder"]["action_network"]
+                cb = tok_params["quantizer"]["codebook"]
+                new_cb = apply_ema_codebook(
+                    cb, stat_map["ema_cluster_size"], stat_map["ema_embed_sum"]
+                )
+                tok_params = {
+                    **tok_params,
+                    "quantizer": {**tok_params["quantizer"], "codebook": new_cb},
+                }
+                params = {
+                    **params,
+                    "net": {
+                        **params["net"],
+                        "encoder": {
+                            **params["net"]["encoder"],
+                            "action_network": tok_params,
+                        },
+                    },
+                }
             gnorm = optax.global_norm(grads)
             new_state = TrainState(
                 step=state.step + 1, params=params, opt_state=opt_state,

@@ -234,6 +234,8 @@ class ICLObservationGroupEncoder(nn.Module):
     seq_len: int = 10
     vq_num_codes: int = 1024
     vq_hidden_dim: int = 128
+    vq_ema_codebook: bool = False
+    vq_ema_decay: float = 0.99
     encoder_cores: ObsSpec = ()
 
     def setup(self):
@@ -259,6 +261,8 @@ class ICLObservationGroupEncoder(nn.Module):
                 latent_dim=out_dim,
                 num_codes=self.vq_num_codes,
                 hidden_dim=self.vq_hidden_dim,
+                ema_codebook=self.vq_ema_codebook,
+                ema_decay=self.vq_ema_decay,
             )
         elif self.ln_act_enabled:
             self.action_network = LnActTokenizer(
@@ -406,6 +410,8 @@ class ICLMIMOTransformer(nn.Module):
     ln_act_enabled: bool = False
     vq_num_codes: int = 1024
     vq_hidden_dim: int = 128
+    vq_ema_codebook: bool = False
+    vq_ema_decay: float = 0.99
     encoder_cores: ObsSpec = ()
 
     def setup(self):
@@ -419,6 +425,8 @@ class ICLMIMOTransformer(nn.Module):
             seq_len=self.context_length,
             vq_num_codes=self.vq_num_codes,
             vq_hidden_dim=self.vq_hidden_dim,
+            vq_ema_codebook=self.vq_ema_codebook,
+            vq_ema_decay=self.vq_ema_decay,
             encoder_cores=self.encoder_cores,
         )
         self.embed_encoder = TorchLinear(self.embed_dim)

@@ -64,6 +64,8 @@ class ICLGMMActorNetwork(nn.Module):
     ln_act_enabled: bool = False
     vq_num_codes: int = 1024
     vq_hidden_dim: int = 128
+    vq_ema_codebook: bool = False
+    vq_ema_decay: float = 0.99
     encoder_cores: ObsSpec = ()
     num_modes: int = 5
     min_std: float = 1e-4
@@ -94,6 +96,8 @@ class ICLGMMActorNetwork(nn.Module):
             ln_act_enabled=self.ln_act_enabled,
             vq_num_codes=self.vq_num_codes,
             vq_hidden_dim=self.vq_hidden_dim,
+            vq_ema_codebook=self.vq_ema_codebook,
+            vq_ema_decay=self.vq_ema_decay,
             encoder_cores=self.encoder_cores,
         )
 

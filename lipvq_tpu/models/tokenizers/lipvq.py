@@ -100,13 +100,24 @@ class LFQQuantizer(nn.Module):
 
 
 class LipVQVAE(nn.Module):
-    """The paper's LipVQ-VAE tokenizer (reference LLFQVAE_V4)."""
+    """The paper's LipVQ-VAE tokenizer (reference LLFQVAE_V4).
+
+    ``ema_codebook`` enables the EMA codebook-update extension
+    (BASELINE.json config sweep: "EMA vs loss-based codebook updates"):
+    cluster statistics from the fused Pallas stats kernel update the
+    codebook as an exponential moving average (VQ-VAE v2 style) instead
+    of through the codebook loss; across a device mesh the (counts, sums)
+    stats are psum-merged by the train step (SURVEY.md §5.8).
+    """
 
     feature_dim: int
     latent_dim: int
     num_codes: int = 1024
     hidden_dim: int = 128
     use_pallas: bool | None = None
+    ema_codebook: bool = False
+    ema_decay: float = 0.99
+    ema_eps: float = 1e-5
 
     def setup(self):
         self.enc1 = TorchLinear(64)
@@ -118,6 +129,15 @@ class LipVQVAE(nn.Module):
         self.dec1 = TorchLinear(64)
         self.dec2 = TorchLinear(self.hidden_dim)
         self.to_output = TorchLinear(self.feature_dim)
+        if self.ema_codebook:
+            self.ema_cluster_size = self.variable(
+                "vq_stats", "ema_cluster_size",
+                lambda: jnp.zeros((self.num_codes,), jnp.float32),
+            )
+            self.ema_embed_sum = self.variable(
+                "vq_stats", "ema_embed_sum",
+                lambda: jnp.zeros((self.num_codes, self.latent_dim), jnp.float32),
+            )
 
     def encode(self, x):
         h = gelu_exact(self.enc1(x))
@@ -142,9 +162,31 @@ class LipVQVAE(nn.Module):
 
         recon_loss = jnp.mean((x_recon - x) ** 2)
         commitment_loss = jnp.mean((jax.lax.stop_gradient(z_q) - z_e) ** 2)
-        codebook_loss = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
-        loss = recon_loss + 0.25 * commitment_loss + 0.25 * codebook_loss
+        if self.ema_codebook:
+            # codebook trains via EMA stats, not the codebook loss
+            loss = recon_loss + 0.25 * commitment_loss
+            if not self.is_initializing():
+                self._ema_update(z_e, ids)
+        else:
+            codebook_loss = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
+            loss = recon_loss + 0.25 * commitment_loss + 0.25 * codebook_loss
         return z_latent, loss, ids
+
+    def _ema_update(self, z_e, ids):
+        """EMA cluster-stat accumulation (applied to the codebook by
+        ``apply_ema_codebook`` outside the gradient path). Uses the XLA
+        segment-sum stats; the fused Pallas stats kernel feeds the same
+        quantities on the offline corpus path."""
+        from lipvq_tpu.ops.vq_lookup import vq_cluster_stats
+
+        counts, sums = vq_cluster_stats(
+            jax.lax.stop_gradient(z_e), ids, self.num_codes
+        )
+        d = self.ema_decay
+        self.ema_cluster_size.value = (
+            d * self.ema_cluster_size.value + (1 - d) * counts
+        )
+        self.ema_embed_sum.value = d * self.ema_embed_sum.value + (1 - d) * sums
 
     def tokenize(self, x):
         """Encode + quantize only: x -> token ids (offline corpus path)."""
@@ -156,3 +198,22 @@ class LipVQVAE(nn.Module):
         """ids -> reconstructed actions via codebook + decoder."""
         z_q = self.quantizer.embed(ids)
         return self.decode(z_q)
+
+
+def apply_ema_codebook(codebook, ema_cluster_size, ema_embed_sum,
+                       eps: float = 1e-5):
+    """New codebook from EMA stats (VQ-VAE-2 style Laplace smoothing).
+
+    Under pjit with a data-sharded batch the stats are already globally
+    reduced by GSPMD (the one-hot matmul contracts the sharded axis), so
+    no explicit psum is needed here.
+    """
+    import jax.numpy as jnp
+
+    num_codes = codebook.shape[0]
+    n = jnp.sum(ema_cluster_size)
+    smoothed = (ema_cluster_size + eps) / (n + num_codes * eps) * n
+    new_codebook = ema_embed_sum / smoothed[:, None]
+    # keep untouched (never-assigned) codes at their current values
+    touched = (ema_cluster_size > 0)[:, None]
+    return jnp.where(touched, new_codebook, codebook)

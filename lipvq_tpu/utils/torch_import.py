@@ -1,0 +1,135 @@
+"""Import PyTorch reference weights into flax params.
+
+The parity harness's weight-porting side (SURVEY.md §7 Phase 1.4): a user
+with reference-trained checkpoints loads them here and gets bit-identical
+token IDs from the TPU pipeline. Mappings cover the tokenizer family:
+
+- ``LLFQVAE_V4``  (reference vq_vae/backbone_lfqvae_v5.py state_dict:
+  encoder.{0,2}.{weight,bias}, to_latent.{W,b,ci}, quantizer.codebook,
+  decoder.{0,2}.{weight,bias}, to_output.{weight,bias}) -> ``LipVQVAE``
+- ``VQVAE``       (vq_vae/backbone.py: encoder.{0,2,4}, decoder.{0,2,4},
+  embedding.weight) -> ``VQVAE``
+- ``LFQVAE``      (vq_vae/backbone_lfqvae.py) -> ``LFQVAE``
+- ``AdaptiveBinActionEmbedding`` (bin_action/backbone.py:
+  running_min/max, embedding_layers.{i}.weight, output_layer.{0,2}) ->
+  ``AdaptiveBinActionEmbedding`` params + bin_stats
+
+torch Linear stores weight [out, in]; flax kernels are [in, out] —
+transposed here. state_dicts are accepted as {key: np.ndarray} (use
+``torch.load(...); {k: v.numpy() for k, v in sd.items()}``), so this
+module itself has no torch dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _lin(sd, prefix):
+    return {
+        "kernel": np.asarray(sd[f"{prefix}.weight"]).T.astype(np.float32),
+        "bias": np.asarray(sd[f"{prefix}.bias"]).astype(np.float32),
+    }
+
+
+def import_lipvq_state_dict(sd: dict) -> dict:
+    """LLFQVAE_V4 torch state_dict -> LipVQVAE flax params."""
+    return {
+        "enc1": _lin(sd, "encoder.0"),
+        "enc2": _lin(sd, "encoder.2"),
+        "to_latent": {
+            "W": np.asarray(sd["to_latent.W"]).astype(np.float32),
+            "b": np.asarray(sd["to_latent.b"]).astype(np.float32),
+            "ci": np.asarray(sd["to_latent.ci"]).astype(np.float32),
+        },
+        "quantizer": {
+            "codebook": np.asarray(sd["quantizer.codebook"]).astype(np.float32)
+        },
+        "dec1": _lin(sd, "decoder.0"),
+        "dec2": _lin(sd, "decoder.2"),
+        "to_output": _lin(sd, "to_output"),
+    }
+
+
+def import_vqvae_state_dict(sd: dict) -> dict:
+    """VQVAE torch state_dict -> VQVAE flax params."""
+    return {
+        "enc_0": _lin(sd, "encoder.0"),
+        "enc_1": _lin(sd, "encoder.2"),
+        "enc_2": _lin(sd, "encoder.4"),
+        "dec_0": _lin(sd, "decoder.0"),
+        "dec_1": _lin(sd, "decoder.2"),
+        "dec_2": _lin(sd, "decoder.4"),
+        "embedding": np.asarray(sd["embedding.weight"]).astype(np.float32),
+    }
+
+
+def import_lfqvae_state_dict(sd: dict) -> dict:
+    """LFQVAE torch state_dict -> LFQVAE flax params."""
+    return {
+        "enc_0": _lin(sd, "encoder.0"),
+        "enc_1": _lin(sd, "encoder.2"),
+        "enc_2": _lin(sd, "encoder.4"),
+        "dec_0": _lin(sd, "decoder.0"),
+        "dec_1": _lin(sd, "decoder.2"),
+        "dec_2": _lin(sd, "decoder.4"),
+    }
+
+
+def import_bin_state_dict(sd: dict, action_dim: int) -> tuple[dict, dict]:
+    """AdaptiveBinActionEmbedding state_dict -> (params, bin_stats)."""
+    tables = np.stack(
+        [
+            np.asarray(sd[f"embedding_layers.{i}.weight"])
+            for i in range(action_dim)
+        ],
+        axis=0,
+    ).astype(np.float32)
+    params = {
+        "embedding_tables": tables,
+        "out1": _lin(sd, "output_layer.0"),
+        "out2": _lin(sd, "output_layer.2"),
+    }
+    stats = {
+        "running_min": np.asarray(sd["running_min"]).astype(np.float32),
+        "running_max": np.asarray(sd["running_max"]).astype(np.float32),
+        "num_step": np.asarray(0, np.int32),
+    }
+    return params, stats
+
+
+def import_gpt_backbone_state_dict(sd: dict, num_layers: int,
+                                   prefix: str = "nets.transformer.") -> dict:
+    """Reference GPT_Backbone state_dict -> GPTBackbone flax params.
+
+    Reference layout (transformers.py): nets.transformer.{i}.nets.
+    {attention.nets.{qkv,output},ln1,ln2,mlp.{0,2}} + nets.output_ln.
+    """
+    out = {}
+    for i in range(num_layers):
+        b = f"{prefix}{i}.nets."
+        out[f"block_{i}"] = {
+            "attention": {
+                "qkv": {
+                    "kernel": np.asarray(
+                        sd[f"{b}attention.nets.qkv.weight"]
+                    ).T.astype(np.float32)
+                },
+                "output": _lin(sd, f"{b}attention.nets.output"),
+            },
+            "ln1": {
+                "scale": np.asarray(sd[f"{b}ln1.weight"]).astype(np.float32),
+                "bias": np.asarray(sd[f"{b}ln1.bias"]).astype(np.float32),
+            },
+            "ln2": {
+                "scale": np.asarray(sd[f"{b}ln2.weight"]).astype(np.float32),
+                "bias": np.asarray(sd[f"{b}ln2.bias"]).astype(np.float32),
+            },
+            "mlp_fc": _lin(sd, f"{b}mlp.0"),
+            "mlp_proj": _lin(sd, f"{b}mlp.2"),
+        }
+    out["output_ln"] = {
+        "scale": np.asarray(sd["nets.output_ln.weight"]).astype(np.float32),
+        "bias": np.asarray(sd["nets.output_ln.bias"]).astype(np.float32),
+    }
+    return out

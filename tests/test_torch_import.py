@@ -1,0 +1,165 @@
+"""Weight-port parity: real torch modules with reference layouts -> flax
+params -> bit-identical token ids / matching outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from lipvq_tpu.models.tokenizers.lipvq import LipVQVAE
+from lipvq_tpu.models.transformer import GPTBackbone
+from lipvq_tpu.utils.torch_import import (
+    import_gpt_backbone_state_dict,
+    import_lipvq_state_dict,
+)
+
+
+def _build_torch_lipvq(feature_dim=12, latent_dim=208, num_codes=1024,
+                       hidden=128):
+    """Module with the reference LLFQVAE_V4's exact state_dict layout
+    (backbone_lfqvae_v5.py:51-68)."""
+
+    class ToLatent(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.W = nn.Parameter(torch.randn(latent_dim, hidden))
+            self.b = nn.Parameter(torch.zeros(latent_dim))
+            self.ci = nn.Parameter(torch.ones(latent_dim))
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = nn.Sequential(
+                nn.Linear(feature_dim, 64), nn.GELU(),
+                nn.Linear(64, hidden), nn.GELU(),
+            )
+            self.to_latent = ToLatent()
+            self.quantizer = nn.Module()
+            self.quantizer.codebook = nn.Parameter(
+                torch.randn(num_codes, latent_dim)
+            )
+            self.decoder = nn.Sequential(
+                nn.Linear(latent_dim, 64), nn.GELU(),
+                nn.Linear(64, hidden), nn.GELU(),
+            )
+            self.to_output = nn.Linear(hidden, feature_dim)
+
+        def forward(self, x):
+            h = self.encoder(x)
+            tl = self.to_latent
+            absrow = tl.W.abs().sum(1, keepdim=True)
+            scale = torch.minimum(
+                torch.tensor(1.0), F.softplus(tl.ci).unsqueeze(1) / absrow
+            )
+            z_e = torch.sigmoid(h @ (tl.W * scale).T + tl.b)
+            d = torch.norm(
+                z_e.unsqueeze(1) - self.quantizer.codebook.unsqueeze(0), dim=-1
+            )
+            ids = torch.argmin(d, dim=-1)
+            z_q = self.quantizer.codebook[ids]
+            recon = self.to_output(self.decoder(z_q))
+            return z_q, ids, recon
+
+    torch.manual_seed(7)
+    return M()
+
+
+def test_lipvq_weight_port_bit_exact_ids(rng):
+    tm = _build_torch_lipvq()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_lipvq_state_dict(sd)
+
+    model = LipVQVAE(12, 208, num_codes=1024)
+    x = rng.standard_normal((200, 12), dtype=np.float32)
+    with torch.no_grad():
+        z_q_t, ids_t, recon_t = tm(torch.from_numpy(x.copy()))
+    z_latent, loss, ids = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(ids), ids_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(z_latent), z_q_t.numpy(), rtol=1e-5, atol=1e-5
+    )
+    # tokenize()/detokenize() round the same weights
+    ids2 = model.apply({"params": params}, jnp.asarray(x),
+                       method=LipVQVAE.tokenize)
+    np.testing.assert_array_equal(np.asarray(ids2), ids_t.numpy())
+    recon = model.apply({"params": params}, np.asarray(ids2),
+                        method=LipVQVAE.detokenize)
+    np.testing.assert_allclose(
+        np.asarray(recon), recon_t.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def _build_torch_gpt(embed_dim=64, context_length=30, num_layers=2,
+                     num_heads=4):
+    """Reference GPT_Backbone state_dict layout (transformers.py:321-440),
+    with its forward math."""
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.nets = nn.ModuleDict()
+            attn = nn.Module()
+            attn.nets = nn.ModuleDict(
+                {
+                    "qkv": nn.Linear(embed_dim, 3 * embed_dim, bias=False),
+                    "output": nn.Linear(embed_dim, embed_dim),
+                }
+            )
+            self.nets["attention"] = attn
+            self.nets["ln1"] = nn.LayerNorm(embed_dim)
+            self.nets["ln2"] = nn.LayerNorm(embed_dim)
+            self.nets["mlp"] = nn.Sequential(
+                nn.Linear(embed_dim, 4 * embed_dim), nn.GELU(),
+                nn.Linear(4 * embed_dim, embed_dim), nn.Dropout(0.0),
+            )
+
+        def forward(self, x):
+            h = self.nets["ln1"](x)
+            B, T, D = h.shape
+            qkv = self.nets["attention"].nets["qkv"](h)
+            q, k, v = torch.chunk(qkv, 3, dim=-1)
+            nh, dh = num_heads, D // num_heads
+            q = q.view(B, T, nh, dh).transpose(1, 2)
+            k = k.view(B, T, nh, dh).transpose(1, 2)
+            v = v.view(B, T, nh, dh).transpose(1, 2)
+            att = (q @ k.transpose(-2, -1)) / (dh**0.5)
+            att = F.softmax(att, dim=-1)  # causal=False: no mask
+            y = (att @ v).transpose(1, 2).contiguous().view(B, T, D)
+            x = x + self.nets["attention"].nets["output"](y)
+            x = x + self.nets["mlp"](self.nets["ln2"](x))
+            return x
+
+    class GPT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.nets = nn.ModuleDict()
+            self.nets["transformer"] = nn.Sequential(
+                *[Block() for _ in range(num_layers)]
+            )
+            self.nets["output_ln"] = nn.LayerNorm(embed_dim)
+
+        def forward(self, x):
+            return self.nets["output_ln"](self.nets["transformer"](x))
+
+    torch.manual_seed(3)
+    return GPT()
+
+
+def test_gpt_backbone_weight_port(rng):
+    embed_dim, t, layers, heads = 64, 30, 2, 4
+    tm = _build_torch_gpt(embed_dim, t, layers, heads)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = import_gpt_backbone_state_dict(sd, num_layers=layers)
+
+    net = GPTBackbone(
+        embed_dim=embed_dim, context_length=t, causal=False,
+        attn_dropout=0.0, block_output_dropout=0.0,
+        num_layers=layers, num_heads=heads,
+    )
+    x = rng.standard_normal((3, t, embed_dim), dtype=np.float32)
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x.copy())).numpy()
+    out_j = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-5)
