@@ -41,12 +41,15 @@ def algo_config_to_class(algo_config):
     """Dispatch on enabled sub-configs (reference bc.py:30-60)."""
     gaussian = algo_config.gaussian.enabled
     gmm = algo_config.gmm.enabled
+    vae = algo_config.vae.enabled
     rnn = algo_config.rnn.enabled
     transformer = algo_config.transformer.enabled
     if transformer and gmm:
         return BCTransformerGMM, {}
     if rnn and gmm:
         return BCRNNGMM, {}
+    if vae:
+        return BCVAE, {}
     if gmm or gaussian:
         return BCGMM, {}
     return BC, {}
@@ -213,6 +216,80 @@ class BC(PolicyAlgo):
         if self.sequence and act.ndim == 3:
             act = act[:, -1]
         return act
+
+
+class BCVAE(BC):
+    """cVAE BC (reference bc.py BC_VAE:180): decoder reconstructs actions
+    conditioned on obs features; ELBO = recon + kl_weight * KL."""
+
+    def _build_net(self):
+        from flax import linen as nn
+
+        from lipvq_tpu.models.obs_nets import (
+            ObservationGroupEncoder,
+            spec_flat_dim,
+        )
+        from lipvq_tpu.models.vae_nets import VAE
+
+        group_specs = self.group_specs
+        ac_dim = self.ac_dim
+        vc = self.algo_config.vae
+        cond_dim = sum(spec_flat_dim(s) for _, s in group_specs)
+
+        class _Net(nn.Module):
+            @nn.compact
+            def __call__(self, obs, actions=None, goal=None,
+                         train: bool = False):
+                enc = ObservationGroupEncoder(
+                    group_specs, feature_activation=None, name="obs_enc"
+                )
+                groups = {"obs": obs}
+                if goal is not None:
+                    groups["goal"] = goal
+                cond = enc(train=train, **groups)
+                vae = VAE(
+                    input_dim=ac_dim,
+                    latent_dim=int(vc.latent_dim),
+                    cond_dim=cond.shape[-1],
+                    encoder_layer_dims=tuple(vc.encoder_layer_dims),
+                    decoder_layer_dims=tuple(vc.decoder_layer_dims),
+                    decoder_is_conditioned=bool(vc.decoder.is_conditioned),
+                    name="vae",
+                )
+                if actions is not None:
+                    return vae(actions, cond=cond)
+                key = self.make_rng("sample")
+                return vae.sample_prior(key, cond.shape[0], cond=cond)
+
+        return _Net()
+
+    def _init_variables(self, dummy_obs, seed):
+        dummy_act = jnp.zeros((2, self.ac_dim), jnp.float32)
+        return self.net.init(
+            {"params": jax.random.PRNGKey(seed),
+             "sample": jax.random.PRNGKey(seed + 1)},
+            dummy_obs, dummy_act, train=False,
+        )
+
+    def _loss(self, params, extra_vars, batch, rng, train):
+        out = self.net.apply(
+            {"params": params, **extra_vars}, batch["obs"], batch["actions"],
+            goal=batch["goal_obs"], train=train,
+            rngs={"sample": rng, "dropout": rng},
+        )
+        kl_weight = float(self.algo_config.vae.kl_weight)
+        loss = out["reconstruction_loss"] + kl_weight * out["kl_loss"]
+        return loss, {
+            "action_loss": loss,
+            "recons_loss": out["reconstruction_loss"],
+            "kl_loss": out["kl_loss"],
+        }
+
+    def _get_action_impl(self, state, obs, goal, key):
+        return self.net.apply(
+            {"params": state.params, **state.extra_vars}, obs, None,
+            goal=goal, train=False, rngs={"sample": key, "dropout": key},
+        )
 
 
 class BCGMM(BC):

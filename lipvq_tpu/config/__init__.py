@@ -5,7 +5,12 @@ from lipvq_tpu.config.base import (
     config_factory,
     config_from_json,
 )
-from lipvq_tpu.config.algo_configs import ICLConfig, ICLMambaConfig, BCConfig
+from lipvq_tpu.config.algo_configs import (
+    ICLConfig,
+    ICLMambaConfig,
+    BCConfig,
+    DiffusionPolicyConfig,
+)
 
 __all__ = [
     "Config",
@@ -17,4 +22,5 @@ __all__ = [
     "ICLConfig",
     "ICLMambaConfig",
     "BCConfig",
+    "DiffusionPolicyConfig",
 ]

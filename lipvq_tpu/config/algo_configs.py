@@ -177,3 +177,185 @@ class BCConfig(BaseConfig):
         _rnn_defaults(algo)
         _seq_backbone_defaults(algo.transformer)
         algo.language_conditioned = False
+
+
+def _rl_optim(algo, names, lr=1e-4):
+    for n in names:
+        algo.optim_params[n].learning_rate.initial = lr
+        algo.optim_params[n].learning_rate.decay_factor = 0.1
+        algo.optim_params[n].learning_rate.epoch_schedule = []
+        algo.optim_params[n].learning_rate.scheduler_type = "constant"
+        algo.optim_params[n].regularization.L2 = 0.0
+
+
+class IQLConfig(BaseConfig):
+    """Reference: robomimic/config/iql_config.py."""
+
+    ALGO_NAME = "iql"
+
+    def algo_config(self):
+        algo = self.algo
+        _rl_optim(algo, ["critic", "vf", "actor"], lr=1e-4)
+        algo.discount = 0.99
+        algo.target_tau = 0.01
+        algo.vf_quantile = 0.9
+        algo.actor.net.type = "gaussian"
+        algo.actor.net.common.std_activation = "softplus"
+        algo.actor.net.common.low_noise_eval = True
+        algo.actor.net.common.use_tanh = False
+        algo.actor.net.gaussian.init_last_fc_weight = 0.001
+        algo.actor.net.gaussian.init_std = 0.3
+        algo.actor.net.gaussian.fixed_std = False
+        algo.actor.net.gmm.num_modes = 5
+        algo.actor.net.gmm.min_std = 1e-4
+        algo.actor.layer_dims = [300, 400]
+        algo.actor.max_gradient_norm = None
+        algo.critic.ensemble.n = 2
+        algo.critic.layer_dims = [300, 400]
+        algo.critic.use_huber = False
+        algo.critic.max_gradient_norm = None
+        algo.adv.clip_adv_value = None
+        algo.adv.beta = 1.0
+        algo.adv.use_final_clip = True
+
+
+class TD3BCConfig(BaseConfig):
+    """Reference: robomimic/config/td3_bc_config.py."""
+
+    ALGO_NAME = "td3_bc"
+
+    def algo_config(self):
+        algo = self.algo
+        _rl_optim(algo, ["critic", "actor"], lr=3e-4)
+        algo.alpha = 2.5
+        algo.discount = 0.99
+        algo.n_step = 1
+        algo.target_tau = 0.005
+        algo.infinite_horizon = False
+        algo.critic.use_huber = False
+        algo.critic.max_gradient_norm = None
+        algo.critic.value_bounds = None
+        algo.critic.ensemble.n = 2
+        algo.critic.ensemble.weight = 1.0
+        algo.critic.layer_dims = [256, 256]
+        algo.actor.update_freq = 2
+        algo.actor.noise_std = 0.2
+        algo.actor.noise_clip = 0.5
+        algo.actor.layer_dims = [256, 256]
+
+
+class CQLConfig(BaseConfig):
+    """Reference: robomimic/config/cql_config.py."""
+
+    ALGO_NAME = "cql"
+
+    def algo_config(self):
+        algo = self.algo
+        _rl_optim(algo, ["critic", "actor"], lr=1e-4)
+        algo.discount = 0.99
+        algo.target_tau = 0.005
+        algo.actor.layer_dims = [300, 400]
+        algo.critic.ensemble.n = 2
+        algo.critic.layer_dims = [300, 400]
+        algo.critic.cql_weight = 1.0
+        algo.critic.num_random_actions = 10
+
+
+class BCQConfig(BaseConfig):
+    """Reference: robomimic/config/bcq_config.py."""
+
+    ALGO_NAME = "bcq"
+
+    def algo_config(self):
+        algo = self.algo
+        _rl_optim(algo, ["critic", "actor", "action_sampler"], lr=1e-3)
+        algo.discount = 0.99
+        algo.n_step = 1
+        algo.target_tau = 0.005
+        algo.infinite_horizon = False
+        algo.critic.use_huber = False
+        algo.critic.max_gradient_norm = None
+        algo.critic.value_bounds = None
+        algo.critic.num_action_samples = 10
+        algo.critic.ensemble.n = 2
+        algo.critic.ensemble.weight = 0.75
+        algo.critic.layer_dims = [300, 400]
+        algo.actor.enabled = False
+        algo.actor.perturbation_scale = 0.05
+        algo.actor.layer_dims = [300, 400]
+        algo.action_sampler.vae.latent_dim = 14
+        algo.action_sampler.vae.kl_weight = 0.5
+
+
+class ACTConfig(BaseConfig):
+    """Reference: robomimic/config/act_config.py (+ algo/act.py defaults)."""
+
+    ALGO_NAME = "act"
+
+    def train_config(self):
+        super().train_config()
+        self.train.seq_length = 10
+        self.train.hdf5_load_next_obs = False
+
+    def algo_config(self):
+        algo = self.algo
+        _policy_optim_defaults(algo)
+        algo.optim_params.policy.learning_rate.initial = 5e-5
+        algo.optim_params.policy.regularization.L2 = 1e-4
+        algo.act.chunk_size = 10
+        algo.act.hidden_dim = 512
+        algo.act.latent_dim = 32
+        algo.act.num_heads = 8
+        algo.act.enc_layers = 4
+        algo.act.dec_layers = 7
+        algo.act.ff_dim = 3200
+        algo.act.kl_weight = 20.0
+
+
+class DiffusionPolicyConfig(BaseConfig):
+    """Reference: robomimic/config/diffusion_policy_config.py."""
+
+    ALGO_NAME = "diffusion_policy"
+
+    def train_config(self):
+        super().train_config()
+        self.train.seq_length = 16
+        self.train.frame_stack = 2
+        self.train.hdf5_load_next_obs = False
+
+    def algo_config(self):
+        algo = self.algo
+        _policy_optim_defaults(algo)
+        algo.optim_params.policy.learning_rate.initial = 1e-4
+        algo.optim_params.policy.learning_rate.scheduler_type = "cosine"
+        algo.optim_params.policy.learning_rate.num_warmup_steps = 500
+        algo.optim_params.policy.regularization.L2 = 1e-6
+
+        algo.horizon.observation_horizon = 2
+        algo.horizon.action_horizon = 8
+        algo.horizon.prediction_horizon = 16
+
+        algo.unet.enabled = True
+        algo.unet.diffusion_step_embed_dim = 256
+        algo.unet.down_dims = [256, 512, 1024]
+        algo.unet.kernel_size = 5
+        algo.unet.n_groups = 8
+
+        algo.ema.enabled = True
+        algo.ema.power = 0.75
+
+        algo.ddpm.enabled = True
+        algo.ddpm.num_train_timesteps = 100
+        algo.ddpm.num_inference_timesteps = 100
+        algo.ddpm.beta_schedule = "squaredcos_cap_v2"
+        algo.ddpm.clip_sample = True
+        algo.ddpm.prediction_type = "epsilon"
+
+        algo.ddim.enabled = False
+        algo.ddim.num_train_timesteps = 100
+        algo.ddim.num_inference_timesteps = 10
+        algo.ddim.beta_schedule = "squaredcos_cap_v2"
+        algo.ddim.clip_sample = True
+        algo.ddim.set_alpha_to_one = True
+        algo.ddim.steps_offset = 0
+        algo.ddim.prediction_type = "epsilon"
