@@ -15,6 +15,9 @@ import lipvq_tpu.algo.iql  # noqa: F401
 import lipvq_tpu.algo.td3_bc  # noqa: F401
 import lipvq_tpu.algo.cql  # noqa: F401
 import lipvq_tpu.algo.bcq  # noqa: F401
+import lipvq_tpu.algo.gl  # noqa: F401
+import lipvq_tpu.algo.hbc  # noqa: F401
+import lipvq_tpu.algo.mcr  # noqa: F401
 
 __all__ = [
     "Algo",

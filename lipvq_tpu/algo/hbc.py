@@ -1,0 +1,280 @@
+"""HBC — hierarchical behavior cloning, and IRIS.
+
+Counterpart of reference algo/hbc.py (344 LoC) and algo/iris.py (183 LoC):
+- ``HBC``: a GL(-VAE) planner proposes subgoals (future observations)
+  every ``subgoal_update_interval`` steps; a goal-conditioned BC actor
+  executes toward the current subgoal (reference hbc.py:38-144).
+- ``IRIS``: HBC whose planner is a ValuePlanner (GLVAE samples scored by
+  a TD(0)-trained state-value net — reference iris.py uses a BCQ value
+  algo; the V-net simplification is documented in gl.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lipvq_tpu.algo.base import (
+    Algo,
+    optimizer_from_optim_params,
+    register_algo_factory_func,
+)
+from lipvq_tpu.algo.bc import BCGMM
+from lipvq_tpu.algo.gl import GL, GLVAE, ValuePlanner
+from lipvq_tpu.config.config import Config
+from lipvq_tpu.models.obs_nets import obs_spec
+from lipvq_tpu.models.value_nets import ValueNetwork
+
+
+@register_algo_factory_func("hbc")
+def algo_config_to_class(algo_config):
+    return HBC, {}
+
+
+@register_algo_factory_func("iris")
+def iris_algo_config_to_class(algo_config):
+    return IRIS, {}
+
+
+def _sub_config(global_config, algo_section, obs_section):
+    """Build a minimal standalone config for a sub-algo."""
+    cfg = Config()
+    cfg.algo_name = "sub"
+    cfg.train = Config(global_config.train.to_dict())
+    cfg.experiment = Config(global_config.experiment.to_dict())
+    cfg.algo = Config(algo_section.to_dict())
+    cfg.observation = Config(obs_section.to_dict())
+    return cfg
+
+
+class HBC(Algo):
+    def __init__(self, algo_config, obs_config, global_config,
+                 obs_key_shapes, ac_dim):
+        self.algo_config = algo_config
+        self.obs_config = obs_config
+        self.global_config = global_config
+        self.obs_key_shapes = obs_key_shapes
+        self.ac_dim = ac_dim
+        self._subgoal_update_interval = int(
+            algo_config.subgoal_update_interval
+        )
+        self._subgoal_horizon = int(algo_config.planner.subgoal_horizon)
+
+        planner_cls = (
+            GLVAE if algo_config.planner.vae.enabled else GL
+        )
+        self.planner = planner_cls(
+            algo_config=algo_config.planner,
+            obs_config=obs_config.planner
+            if "planner" in obs_config else obs_config,
+            global_config=_sub_config(
+                global_config, algo_config.planner,
+                obs_config.planner if "planner" in obs_config else obs_config,
+            ),
+            obs_key_shapes=obs_key_shapes,
+            ac_dim=ac_dim,
+        )
+        # actor is goal-conditioned on the planner's subgoal obs set
+        actor_obs_config = (
+            obs_config.actor if "actor" in obs_config else obs_config
+        )
+        self.actor = _GoalConditionedBC(
+            algo_config=algo_config.actor,
+            obs_config=actor_obs_config,
+            global_config=_sub_config(
+                global_config, algo_config.actor, actor_obs_config
+            ),
+            obs_key_shapes=obs_key_shapes,
+            ac_dim=ac_dim,
+            subgoal_shapes=self.planner.subgoal_shapes
+            if hasattr(self.planner, "subgoal_shapes") else dict(obs_key_shapes),
+        )
+        self._current_subgoal = None
+        self._step_counter = 0
+
+    def _create_networks(self):
+        pass
+
+    def process_batch_for_training(self, batch):
+        return {
+            "planner": self.planner.process_batch_for_training(batch),
+            "actor": self.actor.process_batch_for_training(batch),
+        }
+
+    def train_on_batch(self, batch, epoch, validate: bool = False):
+        trainable_planner = getattr(self, "_raw_planner", self.planner)
+        p_info = trainable_planner.train_on_batch(
+            batch["planner"], epoch, validate=validate
+        )
+        # actor conditions on the planner's target subgoals (reference
+        # hbc.py: actor goals = planner target subgoals)
+        actor_batch = dict(batch["actor"])
+        actor_batch["goal_obs"] = batch["planner"]["target_subgoals"]
+        a_info = self.actor.train_on_batch(
+            actor_batch, epoch, validate=validate
+        )
+        return {"losses": {
+            "planner_loss": p_info["losses"]["action_loss"],
+            "actor_loss": a_info["losses"]["action_loss"],
+            "action_loss": a_info["losses"]["action_loss"],
+        }}
+
+    def log_info(self, info):
+        return {
+            "Loss": float(info["losses"]["action_loss"]),
+            "Planner_Loss": float(info["losses"]["planner_loss"]),
+            "Actor_Loss": float(info["losses"]["actor_loss"]),
+        }
+
+    @property
+    def current_subgoal(self):
+        return self._current_subgoal
+
+    def get_action(self, obs_dict, goal_dict=None):
+        if (
+            self._current_subgoal is None
+            or self._step_counter % self._subgoal_update_interval == 0
+        ):
+            self._current_subgoal = self.planner.get_subgoal_predictions(
+                obs_dict, goal_dict
+            )
+        self._step_counter += 1
+        return self.actor.get_action(obs_dict, goal_dict=self._current_subgoal)
+
+    def reset(self):
+        self._current_subgoal = None
+        self._step_counter = 0
+
+    def serialize(self):
+        from flax import serialization
+
+        planner = getattr(self, "_raw_planner", self.planner)
+        return serialization.msgpack_serialize(
+            {"planner": planner.serialize(),
+             "actor": self.actor.serialize()}
+        )
+
+    def deserialize(self, payload):
+        from flax import serialization
+
+        d = serialization.msgpack_restore(payload)
+        planner = getattr(self, "_raw_planner", self.planner)
+        planner.deserialize(d["planner"])
+        self.actor.deserialize(d["actor"])
+
+
+class _GoalConditionedBC(BCGMM):
+    """BC-GMM whose goal group is the planner's subgoal obs set."""
+
+    def __init__(self, *args, subgoal_shapes=None, **kwargs):
+        self._subgoal_shapes = subgoal_shapes or {}
+        super().__init__(*args, **kwargs)
+
+    def _create_shapes(self, obs_keys, obs_key_shapes):
+        super()._create_shapes(obs_keys, obs_key_shapes)
+        self.goal_shapes = dict(self._subgoal_shapes)
+
+    def _dummy_inputs(self):
+        return {
+            k: jnp.zeros((2,) + tuple(s), jnp.float32)
+            for k, s in self.obs_shapes.items()
+        }
+
+    def _init_variables(self, dummy_obs, seed):
+        dummy_goal = {
+            k: jnp.zeros((2,) + tuple(s), jnp.float32)
+            for k, s in self.goal_shapes.items()
+        }
+        return self.net.init(
+            {"params": jax.random.PRNGKey(seed),
+             "dropout": jax.random.PRNGKey(seed + 1)},
+            dummy_obs, goal=dummy_goal, train=False,
+            method=type(self.net).forward_train,
+        )
+
+
+class IRIS(HBC):
+    """HBC with a value-guided planner (reference iris.py)."""
+
+    def __init__(self, algo_config, obs_config, global_config,
+                 obs_key_shapes, ac_dim):
+        super().__init__(algo_config, obs_config, global_config,
+                         obs_key_shapes, ac_dim)
+        assert isinstance(self.planner, GLVAE), "IRIS requires a VAE planner"
+        spec = obs_spec(self.planner.obs_shapes)
+        self.value_net = ValueNetwork(group_specs=(("obs", spec),))
+        seed = int(global_config.train.seed)
+        dummy = {
+            k: jnp.zeros((2,) + tuple(s), jnp.float32)
+            for k, s in self.planner.obs_shapes.items()
+        }
+        self._value_params = self.value_net.init(
+            jax.random.PRNGKey(seed + 11), dummy
+        )["params"]
+        self._value_tx = optax.adam(1e-4)
+        self._value_opt = self._value_tx.init(self._value_params)
+        self.discount = float(algo_config.get("discount", 0.99))
+
+        def value_fn(obs):
+            return self.value_net.apply(
+                {"params": self._value_params},
+                jax.tree.map(jnp.asarray, obs),
+            )
+
+        self._raw_planner = self.planner
+        self.planner = ValuePlanner(
+            self._raw_planner, value_fn,
+            num_samples=int(algo_config.get("num_subgoal_samples", 10)),
+        )
+
+        @jax.jit
+        def value_step(params, opt_state, obs, next_obs, rewards, dones):
+            def loss_fn(p):
+                v = self.value_net.apply({"params": p}, obs)
+                v_next = self.value_net.apply({"params": p}, next_obs)
+                target = rewards + (1.0 - dones) * self.discount * (
+                    jax.lax.stop_gradient(v_next)
+                )
+                return jnp.mean((v - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self._value_tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._jit_value_step = value_step
+
+    def process_batch_for_training(self, batch):
+        out = {
+            "planner": self._raw_planner.process_batch_for_training(batch),
+            "actor": self.actor.process_batch_for_training(batch),
+        }
+        out["value"] = {
+            "obs": {k: np.asarray(v)[:, 0] for k, v in batch["obs"].items()},
+            "next_obs": {
+                k: np.asarray(v)[:, 0] for k, v in batch["next_obs"].items()
+            },
+            "rewards": np.asarray(batch["rewards"])[:, 0].astype(np.float32),
+            "dones": np.asarray(batch["dones"])[:, 0].astype(np.float32),
+        }
+        return out
+
+    def train_on_batch(self, batch, epoch, validate: bool = False):
+        info = super().train_on_batch(
+            {"planner": batch["planner"], "actor": batch["actor"]},
+            epoch, validate=validate,
+        )
+        if not validate:
+            v = batch["value"]
+            self._value_params, self._value_opt, v_loss = self._jit_value_step(
+                self._value_params, self._value_opt,
+                jax.tree.map(jnp.asarray, v["obs"]),
+                jax.tree.map(jnp.asarray, v["next_obs"]),
+                jnp.asarray(v["rewards"]), jnp.asarray(v["dones"]),
+            )
+            info["losses"]["value_loss"] = v_loss
+        return info
+
+    def train_on_batch_planner(self, *a, **k):
+        return self._raw_planner.train_on_batch(*a, **k)

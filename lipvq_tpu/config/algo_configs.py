@@ -179,6 +179,86 @@ class BCConfig(BaseConfig):
         algo.language_conditioned = False
 
 
+def _gl_algo_defaults(section):
+    """GL planner algo section (reference gl_config.py)."""
+    section.optim_params.goal_network.learning_rate.initial = 1e-4
+    section.optim_params.goal_network.learning_rate.decay_factor = 0.1
+    section.optim_params.goal_network.learning_rate.epoch_schedule = []
+    section.optim_params.goal_network.learning_rate.scheduler_type = "constant"
+    section.optim_params.goal_network.regularization.L2 = 0.0
+    section.subgoal_horizon = 10
+    section.ae.planner_layer_dims = [300, 400]
+    _vae_defaults(section)
+
+
+class MCRConfig(BaseConfig):
+    """Reference: robomimic/config/mcr_config.py — transformer GMM BC with
+    a pretrained MCR representation."""
+
+    ALGO_NAME = "mcr"
+
+    def algo_config(self):
+        algo = self.algo
+        _policy_optim_defaults(algo)
+        _loss_defaults(algo)
+        algo.actor_layer_dims = [1024, 1024]
+        _gaussian_defaults(algo)
+        _gmm_defaults(algo)
+        algo.gmm.enabled = True
+        _vae_defaults(algo)
+        _rnn_defaults(algo)
+        _seq_backbone_defaults(algo.transformer)
+        algo.transformer.enabled = True
+        algo.mcr.pretrained_ckpt = None
+        algo.mcr.freeze_backbone = False
+        algo.mcr.embed_dim = 128
+        algo.language_conditioned = False
+
+
+class GLConfig(BaseConfig):
+    """Reference: robomimic/config/gl_config.py."""
+
+    ALGO_NAME = "gl"
+
+    def algo_config(self):
+        _gl_algo_defaults(self.algo)
+
+
+class HBCConfig(BaseConfig):
+    """Reference: robomimic/config/hbc_config.py — nested planner (GL) and
+    actor (BC) sections."""
+
+    ALGO_NAME = "hbc"
+
+    def algo_config(self):
+        algo = self.algo
+        algo.subgoal_update_interval = 10
+        algo.latent_subgoal.enabled = False
+        _gl_algo_defaults(algo.planner)
+        a = algo.actor
+        _policy_optim_defaults(a)
+        _loss_defaults(a)
+        a.actor_layer_dims = [1024, 1024]
+        _gaussian_defaults(a)
+        _gmm_defaults(a)
+        a.gmm.enabled = True
+        _vae_defaults(a)
+        _rnn_defaults(a)
+        _seq_backbone_defaults(a.transformer)
+
+
+class IRISConfig(HBCConfig):
+    """Reference: robomimic/config/iris_config.py."""
+
+    ALGO_NAME = "iris"
+
+    def algo_config(self):
+        super().algo_config()
+        self.algo.planner.vae.enabled = True
+        self.algo.discount = 0.99
+        self.algo.num_subgoal_samples = 10
+
+
 def _rl_optim(algo, names, lr=1e-4):
     for n in names:
         algo.optim_params[n].learning_rate.initial = lr
