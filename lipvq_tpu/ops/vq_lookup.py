@@ -65,33 +65,45 @@ def vq_distances_reference(z_e: jax.Array, codebook: jax.Array) -> jax.Array:
 # Pallas fused kernel
 # ---------------------------------------------------------------------------
 
-def _vq_kernel(z_ref, c_ref, cn_ref, ids_ref):
-    """One grid step: a [TB, D] tile of z against the full padded codebook."""
-    scores = jnp.dot(
-        z_ref[:], c_ref[:].T, preferred_element_type=jnp.float32
-    )  # [TB, N]
-    dist2 = cn_ref[:] - 2.0 * scores  # ||z||^2 dropped: constant per row
-    m = jnp.min(dist2, axis=1, keepdims=True)
-    n = dist2.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, dist2.shape, 1)
-    # lowest index among minima == torch.argmin first-occurrence semantics
-    ids = jnp.min(jnp.where(dist2 <= m, col, n), axis=1)
-    # ids output is [TB, 1] (2D keeps XLA/Mosaic int32 layouts aligned —
-    # 1D s32 outputs hit a T(1024)-vs-T(512) tiling mismatch on real TPU)
-    ids_ref[:] = ids.astype(jnp.int32)[:, None]
+def _make_vq_kernel(mxu_precision):
+    def _vq_kernel(z_ref, c_ref, cn_ref, ids_ref):
+        """One grid step: a [TB, D] tile of z against the padded codebook.
+
+        precision=HIGHEST forces true-fp32 MXU passes — Mosaic's default is
+        a single bf16 pass, which flips ~0.5%% of argmins on gaussian data
+        and breaks token-ID parity (measured on v5e). The 'fast' mode keeps
+        the bf16 pass for serving paths that trade exactness for ~2x
+        throughput (explicit opt-in)."""
+        scores = jnp.dot(
+            z_ref[:], c_ref[:].T, preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )  # [TB, N]
+        dist2 = cn_ref[:] - 2.0 * scores  # ||z||^2 dropped: constant/row
+        m = jnp.min(dist2, axis=1, keepdims=True)
+        n = dist2.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, dist2.shape, 1)
+        # lowest index among minima == torch.argmin first-occurrence
+        ids = jnp.min(jnp.where(dist2 <= m, col, n), axis=1)
+        # ids output is [TB/128, 128]: a lane-major 2D layout that keeps
+        # XLA/Mosaic int32 tilings aligned without the 128x padding waste a
+        # [TB, 1] layout suffers under T(8,128) tiling (VMEM-OOM at ~1M rows)
+        ids_ref[:] = ids.astype(jnp.int32).reshape(-1, 128)
+
+    return _vq_kernel
 
 
 def _vq_stats_kernel(z_ref, c_ref, cn_ref, ids_ref, counts_ref, sums_ref):
     """Lookup + accumulate one-hot cluster stats for EMA codebook updates."""
     i = pl.program_id(0)
     z = z_ref[:]
-    scores = jnp.dot(z, c_ref[:].T, preferred_element_type=jnp.float32)
+    scores = jnp.dot(z, c_ref[:].T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     dist2 = cn_ref[:] - 2.0 * scores
     m = jnp.min(dist2, axis=1, keepdims=True)
     n = dist2.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, dist2.shape, 1)
     ids = jnp.min(jnp.where(dist2 <= m, col, n), axis=1)
-    ids_ref[:] = ids.astype(jnp.int32)[:, None]
+    ids_ref[:] = ids.astype(jnp.int32).reshape(-1, 128)
 
     one_hot = (col == ids[:, None]).astype(jnp.float32)  # [TB, N]
 
@@ -101,7 +113,8 @@ def _vq_stats_kernel(z_ref, c_ref, cn_ref, ids_ref, counts_ref, sums_ref):
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
     counts_ref[:] += jnp.sum(one_hot, axis=0, keepdims=True)
-    sums_ref[:] += jnp.dot(one_hot.T, z, preferred_element_type=jnp.float32)
+    sums_ref[:] += jnp.dot(one_hot.T, z, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
 
 def _pad_inputs(z_e, codebook):
@@ -123,15 +136,25 @@ def _pad_inputs(z_e, codebook):
     return z, c, cn[None, :], b, n
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_b", "interpret", "precision")
+)
 def vq_nearest_pallas(
     z_e: jax.Array,
     codebook: jax.Array,
     *,
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
-    """Fused nearest-code lookup. z_e [B, D], codebook [N, D] -> ids [B]."""
+    """Fused nearest-code lookup. z_e [B, D], codebook [N, D] -> ids [B].
+
+    precision: 'highest' (bit-exact parity, default) or 'fast' (single
+    bf16 MXU pass, ~2x faster, argmins may flip on near-ties)."""
+    mxu_precision = (
+        jax.lax.Precision.HIGHEST if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
     z, c, cn, b, n = _pad_inputs(z_e, codebook)
     d_pad = z.shape[1]
     n_pad = c.shape[0]
@@ -140,15 +163,17 @@ def vq_nearest_pallas(
         z = jnp.pad(z, ((0, b_pad - b), (0, 0)))
     grid = (b_pad // block_b,)
     ids = pl.pallas_call(
-        _vq_kernel,
+        _make_vq_kernel(mxu_precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (block_b // 128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad // 128, 128), jnp.int32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * d_pad,
@@ -164,7 +189,7 @@ def vq_nearest_with_stats_pallas(
     z_e: jax.Array,
     codebook: jax.Array,
     *,
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: bool = False,
 ):
     """Fused lookup + cluster stats: -> (ids [B], counts [N], sums [N, D]).
@@ -190,12 +215,15 @@ def vq_nearest_with_stats_pallas(
             pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b // 128, 128), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
         ],
