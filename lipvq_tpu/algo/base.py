@@ -214,6 +214,24 @@ class Algo:
             params=restored["params"], extra_vars=restored["extra_vars"]
         )
 
+    def serialize_full(self) -> bytes:
+        """Full restartable state including optimizer moments + step + rng.
+
+        The reference never checkpoints optimizer state (SURVEY.md §5.3 —
+        its directory ckpt_path mode is follow-along evaluation, not true
+        resume); this is the TPU-native improvement called out there.
+        """
+        from flax import serialization
+
+        return serialization.to_bytes(self.state._asdict())
+
+    def deserialize_full(self, payload: bytes):
+        from flax import serialization
+
+        template = self.state._asdict()
+        restored = serialization.from_bytes(template, payload)
+        self.state = type(self.state)(**restored)
+
     def set_train(self):
         pass
 

@@ -87,3 +87,35 @@ class ICLRolloutPolicy(RolloutPolicy):
         goal = self._prepare_observation(goal) if goal is not None else None
         ac = self.policy.get_action(ob, context_batch, goal_dict=goal)
         return self._postprocess_action(np.asarray(ac)[0])
+
+    def batched(self, obs, context_batch):
+        """Batched path for vector envs: obs leaves [N, T, ...] -> [N, A].
+
+        The reference's batched ICL rollout is unfinished (its
+        _prepare_observation asserts batched is False, algo.py:751 —
+        SURVEY.md B.8); the jitted get_action makes it native here. The
+        context batch is tiled to the env count.
+        """
+        obs = {k: np.asarray(v, np.float32) for k, v in obs.items()}
+        n = next(iter(obs.values())).shape[0]
+        if self.obs_normalization_stats is not None:
+            obs = ObsUtils.normalize_dict(obs, self.obs_normalization_stats)
+        if self._ep_lang_emb is not None:
+            t = next(iter(obs.values())).shape[1]
+            obs[LANG_EMB_KEY] = np.tile(
+                self._ep_lang_emb[None, None], (n, t, 1)
+            )
+        ctx = {
+            "obs": {
+                k: np.repeat(np.asarray(v), n, axis=0)
+                if np.asarray(v).shape[0] == 1 else np.asarray(v)
+                for k, v in context_batch["obs"].items()
+            },
+            "actions": np.repeat(
+                np.asarray(context_batch["actions"]), n, axis=0
+            )
+            if np.asarray(context_batch["actions"]).shape[0] == 1
+            else np.asarray(context_batch["actions"]),
+        }
+        acts = np.asarray(self.policy.get_action(obs, ctx))
+        return np.stack([self._postprocess_action(a) for a in acts])

@@ -68,12 +68,22 @@ def train(config, eval_only: bool = False):
         ac_dim=shape_meta["ac_dim"],
     )
 
-    if config.experiment.ckpt_path is not None and os.path.isfile(
-        config.experiment.ckpt_path
-    ):
-        print(f"Loading model weights from {config.experiment.ckpt_path}")
-        ckpt = FileUtils.load_checkpoint_dict(config.experiment.ckpt_path)
-        model.deserialize(ckpt["model"])
+    ckpt_path = config.experiment.ckpt_path
+    follow_along_dir = None
+    if ckpt_path is not None:
+        if os.path.isdir(ckpt_path):
+            # follow-along evaluation mode: load model_epoch_{e} each epoch
+            # if present (reference train.py:259-267)
+            follow_along_dir = ckpt_path
+        elif ckpt_path.endswith(".state") and os.path.isfile(ckpt_path):
+            # full restartable state (params + optimizer + rng)
+            print(f"Resuming full train state from {ckpt_path}")
+            with open(ckpt_path, "rb") as f:
+                model.deserialize_full(f.read())
+        elif os.path.isfile(ckpt_path):
+            print(f"Loading model weights from {ckpt_path}")
+            ckpt = FileUtils.load_checkpoint_dict(ckpt_path)
+            model.deserialize(ckpt["model"])
 
     lang_encoder = LangEncoder()
     train_ds, valid_ds = TrainUtils.load_data_for_training(
@@ -106,6 +116,14 @@ def train(config, eval_only: bool = False):
 
     num_epochs = 0 if eval_only else config.train.num_epochs
     for epoch in range(1, num_epochs + 1):
+        if follow_along_dir is not None:
+            candidate = os.path.join(
+                follow_along_dir, f"model_epoch_{epoch}.ckpt"
+            )
+            if os.path.isfile(candidate):
+                print(f"follow-along: loading {candidate}")
+                ckpt = FileUtils.load_checkpoint_dict(candidate)
+                model.deserialize(ckpt["model"])
         step_log = TrainUtils.run_epoch(
             model, train_loader, epoch,
             num_steps=config.experiment.epoch_every_n_steps,
@@ -230,8 +248,21 @@ def train(config, eval_only: bool = False):
                 env_meta=env_meta, shape_meta=shape_meta,
                 action_normalization_stats=train_ds.get_action_normalization_stats(),
             )
+            # restartable full state (params + optimizer + rng) — TPU-native
+            # improvement over the reference's params-only checkpoints
+            with open(os.path.join(ckpt_dir, "latest_full.state"), "wb") as f:
+                f.write(model.serialize_full())
             print(f"save checkpoint to {path}")
             last_ckpt_time = time.time()
+
+        # host memory observability (reference train.py:480-483)
+        try:
+            import psutil
+
+            mem = psutil.Process(os.getpid()).memory_info().rss / (1 << 20)
+            data_logger.record("System/RAM Usage (MB)", mem, epoch)
+        except ImportError:
+            pass
 
     data_logger.close()
     return ckpt_dir
