@@ -66,6 +66,11 @@ class BC(PolicyAlgo):
         if self.goal_shapes:
             group_specs.append(("goal", obs_spec(self.goal_shapes)))
         self.group_specs = tuple(group_specs)
+        from lipvq_tpu.utils.obs_utils import encoder_cores_from_config
+
+        self.encoder_cores = encoder_cores_from_config(
+            self.obs_config, self.obs_shapes
+        )
         self.net = self._build_net()
         dummy = self._dummy_inputs()
         seed = int(self.global_config.train.seed)
@@ -77,6 +82,7 @@ class BC(PolicyAlgo):
         return ActorNetwork(
             group_specs=self.group_specs, ac_dim=self.ac_dim,
             layer_dims=tuple(self.algo_config.actor_layer_dims),
+            encoder_cores=self.encoder_cores,
         )
 
     def _dummy_inputs(self):
@@ -129,13 +135,21 @@ class BC(PolicyAlgo):
 
     # -- batch prep --------------------------------------------------------
     def process_batch_for_training(self, batch):
+        from lipvq_tpu.utils.obs_utils import process_obs
+
         out = {"goal_obs": batch.get("goal_obs", None)}
         if self.sequence:
             t = self._seq_len()
-            out["obs"] = {k: np.asarray(v)[:, :t] for k, v in batch["obs"].items()}
+            out["obs"] = {
+                k: process_obs(np.asarray(v)[:, :t], obs_key=k)
+                for k, v in batch["obs"].items()
+            }
             out["actions"] = np.asarray(batch["actions"])[:, :t]
         else:
-            out["obs"] = {k: np.asarray(v)[:, 0] for k, v in batch["obs"].items()}
+            out["obs"] = {
+                k: process_obs(np.asarray(v)[:, 0], obs_key=k)
+                for k, v in batch["obs"].items()
+            }
             out["actions"] = np.asarray(batch["actions"])[:, 0]
         return out
 
@@ -298,6 +312,7 @@ class BCGMM(BC):
     def _build_net(self):
         return GMMActorNetwork(
             group_specs=self.group_specs, ac_dim=self.ac_dim,
+            encoder_cores=self.encoder_cores,
             layer_dims=tuple(self.algo_config.actor_layer_dims),
             num_modes=int(self.algo_config.gmm.num_modes),
             min_std=float(self.algo_config.gmm.min_std),
@@ -340,6 +355,7 @@ class BCRNNGMM(BCGMM):
     def _build_net(self):
         return RNNGMMActorNetwork(
             group_specs=self.group_specs, ac_dim=self.ac_dim,
+            encoder_cores=self.encoder_cores,
             hidden_dim=int(self.algo_config.rnn.hidden_dim),
             num_layers=int(self.algo_config.rnn.num_layers),
             num_modes=int(self.algo_config.gmm.num_modes),
@@ -358,6 +374,7 @@ class BCTransformerGMM(BCGMM):
         tc = self.algo_config.transformer
         return TransformerGMMActorNetwork(
             group_specs=self.group_specs, ac_dim=self.ac_dim,
+            encoder_cores=self.encoder_cores,
             embed_dim=int(tc.embed_dim),
             num_layers=int(tc.num_layers),
             num_heads=int(tc.num_heads),

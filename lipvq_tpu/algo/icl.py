@@ -87,6 +87,11 @@ class ICLTransformerGMM(PolicyAlgo):
         group_specs = [("obs", spec)]
         if self.goal_shapes:
             group_specs.append(("goal", obs_spec(self.goal_shapes)))
+        from lipvq_tpu.utils.obs_utils import encoder_cores_from_config
+
+        encoder_cores = encoder_cores_from_config(
+            self.obs_config, self.obs_shapes
+        )
 
         vq_cfg = self.algo_config.get("vq", {})
         self.vq_ema = bool(vq_cfg.get("ema_codebook", False))
@@ -114,6 +119,7 @@ class ICLTransformerGMM(PolicyAlgo):
             vq_hidden_dim=int(vq_cfg.get("hidden_dim", 128)),
             vq_ema_codebook=self.vq_ema,
             vq_ema_decay=float(vq_cfg.get("ema_decay", 0.99)),
+            encoder_cores=encoder_cores,
             num_modes=int(self.algo_config.gmm.num_modes),
             min_std=float(self.algo_config.gmm.min_std),
             std_activation=str(self.algo_config.gmm.std_activation),
@@ -196,10 +202,16 @@ class ICLTransformerGMM(PolicyAlgo):
     # -- data prep (host side, numpy) --------------------------------------
     def process_batch_for_training(self, batch):
         """Slice context window + pick action targets
-        (reference icl.py:759-794)."""
+        (reference icl.py:759-794); per-modality obs processing (uint8
+        images -> float NHWC /255, reference postprocess_batch)."""
+        from lipvq_tpu.utils.obs_utils import process_obs
+
         h = self.context_length
         out = {}
-        out["obs"] = {k: np.asarray(v)[:, :h] for k, v in batch["obs"].items()}
+        out["obs"] = {
+            k: process_obs(np.asarray(v)[:, :h], obs_key=k)
+            for k, v in batch["obs"].items()
+        }
         out["goal_obs"] = batch.get("goal_obs", None)
         actions = np.asarray(batch["actions"])
         if self.supervise_all_steps:

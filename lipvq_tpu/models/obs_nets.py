@@ -67,6 +67,29 @@ def spec_flat_dim(spec: ObsSpec) -> int:
     return total
 
 
+def spec_encoded_dim(spec: ObsSpec, encoder_cores: ObsSpec = ()) -> int:
+    """Post-encoder feature dim: visual-core keys contribute their
+    feature_dimension, low-dim keys their flat size."""
+    core_map = dict(encoder_cores)
+    total = 0
+    for key, shape in spec:
+        core = core_map.get(key)
+        if core:
+            feat = 64
+            if ":" in core:
+                for pair in core.split(":", 1)[1].split(","):
+                    k, v = pair.split("=")
+                    if k == "feature_dimension":
+                        feat = int(v)
+            total += feat
+        else:
+            n = 1
+            for s in shape:
+                n *= s
+            total += n
+    return total
+
+
 class ObservationEncoder(nn.Module):
     """Encode an observation dict into one flat feature vector.
 
@@ -91,7 +114,14 @@ class ObservationEncoder(nn.Module):
             core_name = core_map.get(key)
             if core_name:
                 core = build_core(core_name, key, shape, name=f"core_{key}")
-                f = core(x, train=train)
+                if "LanguageConditioned" in core_name:
+                    # FiLM cores condition on the lang_emb obs key
+                    # (reference VisualCoreLanguageConditioned forward,
+                    # obs_core.py:291-298)
+                    f = core(x, train=train,
+                             lang_emb=obs_dict.get("lang_emb"))
+                else:
+                    f = core(x, train=train)
             else:
                 f = x.reshape(x.shape[0], -1)
             feats.append(f)
@@ -275,11 +305,12 @@ class ICLObservationGroupEncoder(nn.Module):
 
     @property
     def output_dim(self) -> int:
-        """Flat concat dim over all groups (low-dim keys flatten; visual
-        cores must declare feature_dimension in their spec)."""
+        """Post-encoder concat dim over all groups (visual-core keys count
+        their feature_dimension, low-dim keys their flat size) — this is
+        the tokenizer latent dim (reference obs_nets.py:1193)."""
         total = 0
         for _, spec in self.group_specs:
-            total += spec_flat_dim(spec)
+            total += spec_encoded_dim(spec, self.encoder_cores)
         return total
 
     def __call__(self, obs, prompt_obs, prompt_actions, goal=None,

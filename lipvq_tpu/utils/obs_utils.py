@@ -50,6 +50,41 @@ def register_obs_keys(mapping: dict[str, str]) -> None:
     OBS_KEYS_TO_MODALITIES.update(mapping)
 
 
+def encoder_cores_from_config(obs_config, obs_shapes: dict) -> tuple:
+    """Build the ((key, core_spec_str), ...) encoder-core spec consumed by
+    ObservationEncoder from config.observation.encoder (the counterpart of
+    reference obs_encoder_kwargs_from_config, obs_utils.py:254+).
+
+    rgb keys get a VisualCore spec string encoding feature_dimension,
+    keypoints, crop randomizer settings and FiLM conditioning (robocasa
+    image config: FiLM ResNet18 + SpatialSoftmax + 116x116 crop —
+    reference config_gen_utils.py:89-149).
+    """
+    cores = []
+    for key, shape in obs_shapes.items():
+        modality = OBS_KEYS_TO_MODALITIES.get(key)
+        if modality != "rgb" or len(tuple(shape)) < 3:
+            continue
+        enc = obs_config.encoder.get("rgb", {})
+        core_class = enc.get("core_class", "VisualCore") or "VisualCore"
+        ck = enc.get("core_kwargs", {}) or {}
+        kwargs = {
+            "feature_dimension": int(ck.get("feature_dimension", 64) or 64),
+            "num_kp": int(
+                (ck.get("pool_kwargs", {}) or {}).get("num_kp", 32) or 32
+            ),
+        }
+        rand_cls = enc.get("obs_randomizer_class", None)
+        rk = enc.get("obs_randomizer_kwargs", {}) or {}
+        if rand_cls == "CropRandomizer":
+            kwargs["crop_height"] = int(rk.get("crop_height", 76))
+            kwargs["crop_width"] = int(rk.get("crop_width", 76))
+            kwargs["num_crops"] = int(rk.get("num_crops", 1))
+        arg_str = ",".join(f"{k}={v}" for k, v in kwargs.items())
+        cores.append((key, f"{core_class}:{arg_str}"))
+    return tuple(cores)
+
+
 def key_is_obs_modality(key: str, modality: str) -> bool:
     return OBS_KEYS_TO_MODALITIES.get(key) == modality
 
