@@ -1,0 +1,127 @@
+"""Demonstration collection.
+
+Counterpart of reference robocasa/scripts/collect_demos.py (528 LoC,
+keyboard/SpaceMouse teleop). Device teleop requires robosuite's input
+devices; this collector additionally supports a **scripted policy** mode
+that works headless (and generates valid training corpora from the
+synthetic env — used by the examples and tests). Output is a
+robomimic-format HDF5 (SURVEY.md A.1) consumable by SequenceDataset.
+
+    python -m lipvq_tpu.scripts.collect_demos --env SyntheticKitchen \
+        --n_demos 20 --output demos.hdf5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import h5py
+import numpy as np
+
+from lipvq_tpu.robocasa.env_utils import create_env
+
+
+def scripted_policy(obs: dict, rng) -> np.ndarray:
+    """Go-to-goal controller for the synthetic env with exploration noise."""
+    pos = obs["robot0_eef_pos"]
+    target = obs["object"][:3]
+    a = np.zeros(12, np.float32)
+    a[:3] = np.clip((target - pos) / 0.05, -1, 1)
+    a[:3] += rng.normal(0, 0.1, 3)
+    return np.clip(a, -1, 1)
+
+
+def collect_demo(env, policy_fn, max_steps: int, rng):
+    obs = env.reset()
+    traj = {"obs": [], "actions": [], "rewards": [], "dones": [],
+            "states": []}
+    for t in range(max_steps):
+        a = policy_fn(obs, rng)
+        state = env.get_state()
+        traj["obs"].append(obs)
+        traj["states"].append(state)
+        obs, r, done, info = env.step(a)
+        traj["actions"].append(a)
+        traj["rewards"].append(r)
+        success = info.get("is_success", {}).get("task", False)
+        traj["dones"].append(float(done or success))
+        if done or success:
+            break
+    return traj, bool(success)
+
+
+def write_demos(path: str, env, trajs: list[dict], lang: str | None = None):
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        data.attrs["env_args"] = json.dumps(env.serialize())
+        total = 0
+        for i, traj in enumerate(trajs):
+            g = data.create_group(f"demo_{i}")
+            n = len(traj["actions"])
+            g.create_dataset("actions", data=np.stack(traj["actions"]))
+            g.create_dataset("rewards", data=np.asarray(traj["rewards"],
+                                                        np.float32))
+            g.create_dataset("dones", data=np.asarray(traj["dones"],
+                                                      np.float32))
+            states = traj["states"]
+            if states and isinstance(states[0], dict):
+                flat = np.stack([
+                    np.concatenate([np.ravel(v) for v in s.values()])
+                    for s in states
+                ])
+            else:
+                flat = np.stack(states) if states[0] is not None else (
+                    np.zeros((n, 1), np.float32)
+                )
+            g.create_dataset("states", data=flat.astype(np.float32))
+            og = g.create_group("obs")
+            keys = traj["obs"][0].keys()
+            for k in keys:
+                og.create_dataset(
+                    k, data=np.stack([o[k] for o in traj["obs"]])
+                )
+            g.attrs["num_samples"] = n
+            g.attrs["ep_meta"] = json.dumps(
+                {"lang": lang or getattr(env, "ep_lang_str", None) or "demo"}
+            )
+            total += n
+        data.attrs["total"] = total
+    return path
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--env", type=str, default="SyntheticKitchen")
+    parser.add_argument("--n_demos", type=int, default=20)
+    parser.add_argument("--max_steps", type=int, default=200)
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--device", type=str, default="scripted",
+                        choices=["scripted", "keyboard", "spacemouse"])
+    parser.add_argument("--only_success", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    if args.device != "scripted":
+        raise SystemExit(
+            "keyboard/spacemouse teleop requires robosuite input devices; "
+            "run inside a robosuite installation (reference "
+            "collect_demos.py:481-491) or use --device scripted"
+        )
+
+    env = create_env(args.env, seed=args.seed)
+    rng = np.random.default_rng(args.seed)
+    trajs, n_success = [], 0
+    while len(trajs) < args.n_demos:
+        traj, success = collect_demo(env, scripted_policy, args.max_steps, rng)
+        if args.only_success and not success:
+            continue
+        trajs.append(traj)
+        n_success += int(success)
+    write_demos(args.output, env, trajs)
+    print(f"wrote {len(trajs)} demos ({n_success} successful) to "
+          f"{args.output}")
+
+
+if __name__ == "__main__":
+    main()
