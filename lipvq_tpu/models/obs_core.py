@@ -55,27 +55,118 @@ class _BasicBlock(nn.Module):
         return jax.nn.relu(y + residual)
 
 
-class ResNet18Conv(nn.Module):
-    """ResNet-18 trunk without avgpool/fc: [B, H, W, 3] -> [B, H/32, W/32, 512]."""
+class _Bottleneck(nn.Module):
+    """ResNet bottleneck block (1x1 -> 3x3 -> 1x1, 4x expansion)."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_feats = 4 * self.features
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.features, (3, 3),
+                    strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn2")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(out_feats, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn3")(y)
+        if residual.shape[-1] != out_feats or self.stride != 1:
+            residual = nn.Conv(out_feats, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    name="downsample_bn")(residual)
+        return jax.nn.relu(y + residual)
+
+
+class ResNetConv(nn.Module):
+    """Generic ResNet trunk without avgpool/fc: [B, H, W, 3] ->
+    [B, H/32, W/32, C_out]. depth 18/34 use basic blocks (C_out 512);
+    depth 50 uses bottlenecks (C_out 2048). Covers the reference's
+    ResNet{18,34,50}Conv(+FiLM) family (base_nets.py:550-1090)."""
+
+    depth: int = 18
 
     @nn.compact
     def __call__(self, x, train: bool = False, film_cond=None):
+        blocks_per_stage = {
+            18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)
+        }[self.depth]
+        bottleneck = self.depth >= 50
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="stem_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="stem_bn")(x)
         x = jax.nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        stages = [(64, 1), (128, 2), (256, 2), (512, 2)]
-        for si, (feats, stride) in enumerate(stages):
-            for bi in range(2):
-                x = _BasicBlock(feats, stride if bi == 0 else 1,
-                                name=f"layer{si + 1}_{bi}")(x, train=train)
+        stage_feats = (64, 128, 256, 512)
+        for si, (feats, n_blocks) in enumerate(
+            zip(stage_feats, blocks_per_stage)
+        ):
+            stride = 1 if si == 0 else 2
+            block_cls = _Bottleneck if bottleneck else _BasicBlock
+            for bi in range(n_blocks):
+                x = block_cls(feats, stride if bi == 0 else 1,
+                              name=f"layer{si + 1}_{bi}")(x, train=train)
             if film_cond is not None:
-                # FiLM after each stage (reference ResNet18ConvFiLM applies a
-                # FiLMLayer per residual stage, base_nets.py:652-746)
-                x = FiLMLayer(feats, name=f"film{si + 1}")(x, film_cond)
+                # FiLM after each stage (reference ResNet18ConvFiLM,
+                # base_nets.py:652-746)
+                x = FiLMLayer(x.shape[-1], name=f"film{si + 1}")(x, film_cond)
         return x
+
+
+class ResNet18Conv(ResNetConv):
+    depth: int = 18
+
+
+class ResNet34Conv(ResNetConv):
+    depth: int = 34
+
+
+class ResNet50Conv(ResNetConv):
+    depth: int = 50
+
+
+class ShallowConv(nn.Module):
+    """Simple 4-conv encoder (reference base_nets.py:1376)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, film_cond=None):
+        for i, (feats, stride) in enumerate(
+            [(32, 2), (64, 2), (128, 2), (256, 2)]
+        ):
+            x = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                        padding=((1, 1), (1, 1)), name=f"conv{i}")(x)
+            x = jax.nn.relu(x)
+        return x
+
+
+class Conv1dBase(nn.Module):
+    """Stack of 1-D convs over [B, L, C] (reference base_nets.py:1414 —
+    used by ScanCore for range scans)."""
+
+    channels: tuple = (32, 64, 64)
+    kernel_sizes: tuple = (8, 4, 2)
+    strides: tuple = (4, 2, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.ndim == 2:
+            x = x[..., None]
+        for i, (c, k, s) in enumerate(
+            zip(self.channels, self.kernel_sizes, self.strides)
+        ):
+            x = nn.Conv(c, (k,), strides=(s,), name=f"conv{i}")(x)
+            x = jax.nn.relu(x)
+        return x.reshape(x.shape[0], -1)
 
 
 class SpatialSoftmax(nn.Module):
@@ -121,6 +212,56 @@ class SpatialMeanPool(nn.Module):
 # ---------------------------------------------------------------------------
 # Randomizers (reference obs_core.py:565-950)
 # ---------------------------------------------------------------------------
+
+class ColorRandomizer(nn.Module):
+    """Brightness/contrast/saturation jitter at train time
+    (reference obs_core.py:705 — torchvision ColorJitter equivalent,
+    implemented with elementwise ops XLA fuses)."""
+
+    brightness: float = 0.3
+    contrast: float = 0.3
+    saturation: float = 0.3
+
+    def __call__(self, x, train: bool = False, rng=None):
+        if not train or rng is None:
+            return x
+        b = x.shape[0]
+        k1, k2, k3 = jax.random.split(rng, 3)
+        br = 1.0 + jax.random.uniform(
+            k1, (b, 1, 1, 1), minval=-self.brightness, maxval=self.brightness
+        )
+        ct = 1.0 + jax.random.uniform(
+            k2, (b, 1, 1, 1), minval=-self.contrast, maxval=self.contrast
+        )
+        st = 1.0 + jax.random.uniform(
+            k3, (b, 1, 1, 1), minval=-self.saturation, maxval=self.saturation
+        )
+        x = x * br
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        x = (x - mean) * ct + mean
+        gray = jnp.mean(x, axis=-1, keepdims=True)
+        x = gray + (x - gray) * st
+        return jnp.clip(x, 0.0, 1.0)
+
+
+class GaussianNoiseRandomizer(nn.Module):
+    """Additive gaussian pixel noise at train time
+    (reference obs_core.py:863)."""
+
+    noise_mean: float = 0.0
+    noise_std: float = 0.3
+    limits: tuple | None = (0.0, 1.0)
+
+    def __call__(self, x, train: bool = False, rng=None):
+        if not train or rng is None:
+            return x
+        x = x + self.noise_mean + self.noise_std * jax.random.normal(
+            rng, x.shape
+        )
+        if self.limits is not None:
+            x = jnp.clip(x, *self.limits)
+        return x
+
 
 class CropRandomizer(nn.Module):
     """Random crop at train (n_crops folded into batch), center crop at
@@ -187,7 +328,16 @@ class VisualCore(nn.Module):
             rng = self.make_rng("dropout") if train else None
             x = rand.forward_in(x, train=train, rng=rng)
         film_cond = lang_emb if self.film else None
-        h = ResNet18Conv(name="backbone")(x, train=train, film_cond=film_cond)
+        backbone_cls = {
+            "ResNet18Conv": ResNet18Conv,
+            "ResNet18ConvFiLM": ResNet18Conv,
+            "ResNet34Conv": ResNet34Conv,
+            "ResNet34ConvFiLM": ResNet34Conv,
+            "ResNet50Conv": ResNet50Conv,
+            "ResNet50ConvFiLM": ResNet50Conv,
+            "ShallowConv": ShallowConv,
+        }.get(self.backbone, ResNet18Conv)
+        h = backbone_cls(name="backbone")(x, train=train, film_cond=film_cond)
         if self.pool == "SpatialSoftmax":
             f = SpatialSoftmax(num_kp=self.num_kp, name="pool")(h, train=train)
         else:
@@ -199,6 +349,20 @@ class VisualCore(nn.Module):
                                   self.num_crops)
             f = rand.forward_out(f, train=train)
         return f
+
+
+class ScanCore(nn.Module):
+    """Range-scan encoder: Conv1dBase + projection
+    (reference obs_core.py:317)."""
+
+    feature_dimension: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, lang_emb=None):
+        h = Conv1dBase(name="conv1d")(x, train=train)
+        return jax.nn.relu(
+            TorchLinear(self.feature_dimension, name="proj")(h)
+        )
 
 
 def build_core(core_name: str, key: str, shape, name: str):
@@ -214,4 +378,10 @@ def build_core(core_name: str, key: str, shape, name: str):
         return VisualCore(name=name, **kwargs)
     if core_name == "VisualCoreLanguageConditioned":
         return VisualCore(name=name, film=True, **kwargs)
+    if core_name == "ScanCore":
+        kwargs.pop("num_kp", None)
+        kwargs.pop("crop_height", None)
+        kwargs.pop("crop_width", None)
+        kwargs.pop("num_crops", None)
+        return ScanCore(name=name, **kwargs)
     raise KeyError(f"Unknown encoder core {core_name!r}")

@@ -74,6 +74,9 @@ def encoder_cores_from_config(obs_config, obs_shapes: dict) -> tuple:
                 (ck.get("pool_kwargs", {}) or {}).get("num_kp", 32) or 32
             ),
         }
+        backbone = ck.get("backbone_class", None)
+        if backbone:
+            kwargs["backbone"] = str(backbone)
         rand_cls = enc.get("obs_randomizer_class", None)
         rk = enc.get("obs_randomizer_kwargs", {}) or {}
         if rand_cls == "CropRandomizer":
