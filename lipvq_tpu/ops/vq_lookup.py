@@ -240,13 +240,35 @@ def vq_nearest_with_stats_pallas(
     return ids[:b], counts[0, :n], sums[:n, :d_orig]
 
 
+def vq_nearest_xla_expand(z_e: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Expand-form lookup in plain XLA with fp32 MXU passes — the
+    fallback when the fused kernel's VMEM tile budget doesn't fit
+    (large latent dims); same deterministic first-min argmin."""
+    z = z_e.astype(jnp.float32)
+    c = codebook.astype(jnp.float32)
+    cn = jnp.sum(c * c, axis=-1)[None, :]
+    scores = jnp.dot(z, c.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.argmin(cn - 2.0 * scores, axis=-1).astype(jnp.int32)
+
+
+def _kernel_vmem_bytes(block_b: int, n_pad: int, d_pad: int) -> int:
+    """Rough VMEM footprint: double-buffered z tile + codebook + dist2."""
+    return 4 * (2 * block_b * d_pad + n_pad * d_pad + block_b * n_pad)
+
+
 def vq_nearest(z_e: jax.Array, codebook: jax.Array, *, use_pallas: bool | None = None):
-    """Dispatching lookup: Pallas on TPU, XLA reference elsewhere."""
+    """Dispatching lookup: fused Pallas kernel on TPU when the tile
+    budget fits VMEM, XLA expand-form otherwise, XLA reference on CPU."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        return vq_nearest_pallas(z_e, codebook)
-    return vq_nearest_reference(z_e, codebook)
+    if not use_pallas:
+        return vq_nearest_reference(z_e, codebook)
+    d_pad = _round_up(z_e.shape[1], 128)
+    n_pad = _round_up(codebook.shape[0], 128)
+    if _kernel_vmem_bytes(1024, n_pad, d_pad) > 12 * 1024 * 1024:
+        return vq_nearest_xla_expand(z_e, codebook)
+    return vq_nearest_pallas(z_e, codebook)
 
 
 def vq_cluster_stats(z_e: jax.Array, ids: jax.Array, num_codes: int):

@@ -47,11 +47,37 @@ def dataset_factory(config, obs_keys, filter_by_attribute=None,
 
 
 def load_data_for_training(config, obs_keys, lang_encoder=None):
-    """(train_dataset, valid_dataset) (reference train_utils.py:94-161)."""
+    """(train_dataset, valid_dataset) (reference train_utils.py:94-161).
+
+    ``config.train.data`` may be a single path or a list of dataset specs
+    ({"path": ..., "weight"?: ..., "filter_key"?: ...}) — lists build a
+    MetaDataset with shared normalization stats (reference MetaDataset
+    flow, dataset.py:1063+).
+    """
     train_filter = config.train.hdf5_filter_key
     valid_filter = config.train.hdf5_validation_filter_key
-    if config.experiment.validate:
-        assert valid_filter is not None or True  # fall back to same data
+    data = config.train.data
+
+    if isinstance(data, (list, tuple)):
+        from lipvq_tpu.data.dataset import MetaDataset
+
+        datasets, weights = [], []
+        for spec in data:
+            if isinstance(spec, str):
+                spec = {"path": spec}
+            cache = config.train.hdf5_cache_mode
+            if cache == "all" and len(data) > 1:
+                cache = "low_dim"  # MetaDataset forbids "all" (ref quirk)
+            ds = dataset_factory(
+                config, obs_keys,
+                filter_by_attribute=spec.get("filter_key", train_filter),
+                dataset_path=spec["path"], lang_encoder=lang_encoder,
+            )
+            datasets.append(ds)
+            weights.append(float(spec.get("weight", 1.0)))
+        train_ds = MetaDataset(datasets, ds_weights=weights)
+        return train_ds, None
+
     train_ds = dataset_factory(
         config, obs_keys, filter_by_attribute=train_filter,
         lang_encoder=lang_encoder,
