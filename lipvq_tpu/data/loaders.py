@@ -43,6 +43,42 @@ class DataLoader:
             yield stack_collate([self.dataset[int(j)] for j in idx])
 
 
+class PrefetchLoader:
+    """Background-thread prefetching wrapper: overlaps host-side batch
+    assembly (__getitem__ + collate) with device compute — the TPU-native
+    stand-in for torch DataLoader's num_workers (reference
+    train.py:208-224)."""
+
+    def __init__(self, loader, prefetch: int = 2):
+        self.loader = loader
+        self.prefetch = max(1, int(prefetch))
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
 class CyclingIterator:
     """Infinite iterator that restarts the loader on exhaustion
     (reference run_epoch's StopIteration handling)."""

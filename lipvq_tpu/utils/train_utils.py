@@ -168,10 +168,16 @@ def should_save_from_rollout_logs(rollout_logs, best_return, best_success_rate,
 
 
 def make_loaders(config, train_ds, valid_ds):
+    from lipvq_tpu.data.loaders import PrefetchLoader
+
     train_loader = DataLoader(
         train_ds, batch_size=config.train.batch_size, shuffle=True,
         seed=config.train.seed,
     )
+    if config.train.num_data_workers:
+        train_loader = PrefetchLoader(
+            train_loader, prefetch=int(config.train.num_data_workers)
+        )
     valid_loader = None
     if valid_ds is not None:
         valid_loader = DataLoader(
