@@ -50,8 +50,10 @@ def algo_config_to_class(algo_config):
         return BCRNNGMM, {}
     if vae:
         return BCVAE, {}
-    if gmm or gaussian:
+    if gmm:
         return BCGMM, {}
+    if gaussian:
+        return BCGaussian, {}
     return BC, {}
 
 
@@ -268,6 +270,12 @@ class BCVAE(BC):
                     encoder_layer_dims=tuple(vc.encoder_layer_dims),
                     decoder_layer_dims=tuple(vc.decoder_layer_dims),
                     decoder_is_conditioned=bool(vc.decoder.is_conditioned),
+                    prior_learn=bool(vc.prior.learn),
+                    prior_is_conditioned=bool(vc.prior.is_conditioned),
+                    prior_use_gmm=bool(vc.prior.use_gmm),
+                    prior_gmm_num_modes=int(vc.prior.gmm_num_modes),
+                    prior_gmm_learn_weights=bool(vc.prior.gmm_learn_weights),
+                    prior_layer_dims=tuple(vc.prior_layer_dims),
                     name="vae",
                 )
                 if actions is not None:
@@ -345,6 +353,27 @@ class BCGMM(BC):
             method=type(self.net).forward_train,
         )
         return gmm_sample(dists, key)
+
+
+class BCGaussian(BCGMM):
+    """Gaussian BC (reference bc.py BC_Gaussian:233): a unimodal policy —
+    realized as a 1-mode GMM whose std settings come from the gaussian
+    config section (init_std folded into min_std when fixed_std)."""
+
+    def _build_net(self):
+        g = self.algo_config.gaussian
+        min_std = float(g.min_std)
+        if bool(g.fixed_std):
+            min_std = float(g.init_std)
+        return GMMActorNetwork(
+            group_specs=self.group_specs, ac_dim=self.ac_dim,
+            encoder_cores=self.encoder_cores,
+            layer_dims=tuple(self.algo_config.actor_layer_dims),
+            num_modes=1,
+            min_std=min_std,
+            std_activation=str(g.std_activation),
+            low_noise_eval=bool(g.low_noise_eval),
+        )
 
 
 class BCRNNGMM(BCGMM):

@@ -192,6 +192,12 @@ class _GoalVAENet(nn.Module):
     encoder_layer_dims: tuple = (300, 400)
     decoder_layer_dims: tuple = (300, 400)
 
+    prior_learn: bool = False
+    prior_is_conditioned: bool = False
+    prior_use_gmm: bool = False
+    prior_gmm_num_modes: int = 10
+    prior_gmm_learn_weights: bool = False
+
     def setup(self):
         self.enc = ObservationGroupEncoder(self.group_specs)
         self.flat_dim = spec_flat_dim(self.subgoal_spec)
@@ -199,6 +205,11 @@ class _GoalVAENet(nn.Module):
             input_dim=self.flat_dim, latent_dim=self.latent_dim,
             encoder_layer_dims=self.encoder_layer_dims,
             decoder_layer_dims=self.decoder_layer_dims,
+            prior_learn=self.prior_learn,
+            prior_is_conditioned=self.prior_is_conditioned,
+            prior_use_gmm=self.prior_use_gmm,
+            prior_gmm_num_modes=self.prior_gmm_num_modes,
+            prior_gmm_learn_weights=self.prior_gmm_learn_weights,
         )
 
     def _flatten_subgoals(self, subgoals):
@@ -239,12 +250,18 @@ class GLVAE(GL):
     """cVAE subgoal prediction (reference GL_VAE)."""
 
     def _build_net(self):
+        vc = self.algo_config.vae
         return _GoalVAENet(
             group_specs=self.group_specs,
             subgoal_spec=obs_spec(self.subgoal_shapes),
-            latent_dim=int(self.algo_config.vae.latent_dim),
-            encoder_layer_dims=tuple(self.algo_config.vae.encoder_layer_dims),
-            decoder_layer_dims=tuple(self.algo_config.vae.decoder_layer_dims),
+            latent_dim=int(vc.latent_dim),
+            encoder_layer_dims=tuple(vc.encoder_layer_dims),
+            decoder_layer_dims=tuple(vc.decoder_layer_dims),
+            prior_learn=bool(vc.prior.learn),
+            prior_is_conditioned=False,  # subgoal prior is unconditioned here
+            prior_use_gmm=bool(vc.prior.use_gmm),
+            prior_gmm_num_modes=int(vc.prior.gmm_num_modes),
+            prior_gmm_learn_weights=bool(vc.prior.gmm_learn_weights),
         )
 
     def _init_variables(self, dummy_obs, seed):

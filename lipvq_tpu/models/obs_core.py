@@ -319,9 +319,17 @@ class VisualCore(nn.Module):
     crop_width: int = 0
     num_crops: int = 1
     film: bool = False
+    color_jitter: bool = False
+    gaussian_noise: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, lang_emb=None):
+        if self.color_jitter:
+            rng = self.make_rng("dropout") if train else None
+            x = ColorRandomizer(name="color")(x, train=train, rng=rng)
+        if self.gaussian_noise:
+            rng = self.make_rng("dropout") if train else None
+            x = GaussianNoiseRandomizer(name="noise")(x, train=train, rng=rng)
         if self.crop_height and self.crop_width:
             rand = CropRandomizer(self.crop_height, self.crop_width,
                                   self.num_crops, name="crop")

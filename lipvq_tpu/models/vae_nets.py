@@ -30,7 +30,18 @@ def reparameterize(key, mu, logvar):
 
 
 class VAE(nn.Module):
-    """MLP cVAE over flat inputs (reference vae_nets.py VAE)."""
+    """MLP cVAE over flat inputs (reference vae_nets.py VAE).
+
+    Priors (reference vae prior config, base vae_defaults):
+    - default: fixed N(0, I)
+    - ``prior_learn``: learned diagonal Gaussian — analytic KL(q||p);
+      with ``prior_is_conditioned`` the prior params come from an MLP
+      over the conditioning features
+    - ``prior_use_gmm``: learned GMM prior (``prior_gmm_num_modes``
+      modes) — KL estimated by the sampled form log q(z) - log p(z)
+      (no closed form exists)
+    Categorical priors are not yet implemented (COVERAGE.md).
+    """
 
     input_dim: int
     latent_dim: int
@@ -38,6 +49,12 @@ class VAE(nn.Module):
     encoder_layer_dims: Sequence[int] = (300, 400)
     decoder_layer_dims: Sequence[int] = (300, 400)
     decoder_is_conditioned: bool = True
+    prior_learn: bool = False
+    prior_is_conditioned: bool = False
+    prior_use_gmm: bool = False
+    prior_gmm_num_modes: int = 10
+    prior_gmm_learn_weights: bool = False
+    prior_layer_dims: Sequence[int] = (300, 400)
 
     def setup(self):
         self.enc_mlp = MLP(self.encoder_layer_dims,
@@ -47,6 +64,87 @@ class VAE(nn.Module):
         self.dec_mlp = MLP(self.decoder_layer_dims,
                            self.decoder_layer_dims[-1], activation="relu")
         self.dec_out = TorchLinear(self.input_dim)
+        if self.prior_learn:
+            m = self.prior_gmm_num_modes if self.prior_use_gmm else 1
+            if self.prior_is_conditioned:
+                self.prior_mlp = MLP(self.prior_layer_dims,
+                                     self.prior_layer_dims[-1],
+                                     activation="relu")
+                self.prior_mu = TorchLinear(m * self.latent_dim)
+                self.prior_logvar = TorchLinear(m * self.latent_dim)
+                if self.prior_use_gmm and self.prior_gmm_learn_weights:
+                    self.prior_logits = TorchLinear(m)
+            else:
+                self.prior_mu_p = self.param(
+                    "prior_mu", jax.nn.initializers.zeros,
+                    (m, self.latent_dim), jnp.float32,
+                )
+                self.prior_logvar_p = self.param(
+                    "prior_logvar", jax.nn.initializers.zeros,
+                    (m, self.latent_dim), jnp.float32,
+                )
+                if self.prior_use_gmm and self.prior_gmm_learn_weights:
+                    self.prior_logits_p = self.param(
+                        "prior_logits", jax.nn.initializers.zeros, (m,),
+                        jnp.float32,
+                    )
+
+    def _prior_params(self, cond, batch: int):
+        """-> (mu [B, M, D], logvar [B, M, D], logits [B, M])."""
+        m = self.prior_gmm_num_modes if self.prior_use_gmm else 1
+        if self.prior_is_conditioned:
+            assert cond is not None
+            h = self.prior_mlp(cond)
+            mu = self.prior_mu(h).reshape(batch, m, self.latent_dim)
+            logvar = self.prior_logvar(h).reshape(batch, m, self.latent_dim)
+            if self.prior_use_gmm and self.prior_gmm_learn_weights:
+                logits = self.prior_logits(h)
+            else:
+                logits = jnp.zeros((batch, m))
+        else:
+            mu = jnp.broadcast_to(
+                self.prior_mu_p[None], (batch, m, self.latent_dim)
+            )
+            logvar = jnp.broadcast_to(
+                self.prior_logvar_p[None], (batch, m, self.latent_dim)
+            )
+            if self.prior_use_gmm and self.prior_gmm_learn_weights:
+                logits = jnp.broadcast_to(self.prior_logits_p[None],
+                                          (batch, m))
+            else:
+                logits = jnp.zeros((batch, m))
+        return mu, logvar, logits
+
+    def _kl(self, mu, logvar, z, cond):
+        if not self.prior_learn:
+            return kl_divergence(mu, logvar)
+        b = mu.shape[0]
+        p_mu, p_logvar, p_logits = self._prior_params(cond, b)
+        if not self.prior_use_gmm:
+            pm, pv = p_mu[:, 0], p_logvar[:, 0]
+            # analytic KL between diagonal gaussians
+            kl = 0.5 * jnp.sum(
+                pv - logvar
+                + (jnp.exp(logvar) + (mu - pm) ** 2) / jnp.exp(pv)
+                - 1.0,
+                axis=-1,
+            )
+            return jnp.mean(kl)
+        # sampled KL: log q(z|x) - log p(z)
+        log_q = jnp.sum(
+            -0.5 * (((z - mu) ** 2) / jnp.exp(logvar) + logvar
+                    + jnp.log(2 * jnp.pi)),
+            axis=-1,
+        )
+        comp = jnp.sum(
+            -0.5 * (((z[:, None] - p_mu) ** 2) / jnp.exp(p_logvar)
+                    + p_logvar + jnp.log(2 * jnp.pi)),
+            axis=-1,
+        )  # [B, M]
+        log_p = jax.nn.logsumexp(
+            comp + jax.nn.log_softmax(p_logits, axis=-1), axis=-1
+        )
+        return jnp.mean(log_q - log_p)
 
     def encode(self, x, cond=None):
         h = x
@@ -72,10 +170,19 @@ class VAE(nn.Module):
             "mu": mu,
             "logvar": logvar,
             "z": z,
-            "kl_loss": kl_divergence(mu, logvar),
+            "kl_loss": self._kl(mu, logvar, z, cond),
             "reconstruction_loss": jnp.mean((recon - x) ** 2),
         }
 
     def sample_prior(self, key, batch_size, cond=None):
-        z = jax.random.normal(key, (batch_size, self.latent_dim))
+        if self.prior_learn:
+            k_mode, k_normal = jax.random.split(key)
+            p_mu, p_logvar, p_logits = self._prior_params(cond, batch_size)
+            mode = jax.random.categorical(k_mode, p_logits, axis=-1)
+            oh = jax.nn.one_hot(mode, p_mu.shape[1])[..., None]
+            mu = jnp.sum(p_mu * oh, axis=1)
+            logvar = jnp.sum(p_logvar * oh, axis=1)
+            z = reparameterize(k_normal, mu, logvar)
+        else:
+            z = jax.random.normal(key, (batch_size, self.latent_dim))
         return self.decode(z, cond)

@@ -83,6 +83,10 @@ def encoder_cores_from_config(obs_config, obs_shapes: dict) -> tuple:
             kwargs["crop_height"] = int(rk.get("crop_height", 76))
             kwargs["crop_width"] = int(rk.get("crop_width", 76))
             kwargs["num_crops"] = int(rk.get("num_crops", 1))
+        elif rand_cls == "ColorRandomizer":
+            kwargs["color_jitter"] = 1
+        elif rand_cls == "GaussianNoiseRandomizer":
+            kwargs["gaussian_noise"] = 1
         arg_str = ",".join(f"{k}={v}" for k, v in kwargs.items())
         cores.append((key, f"{core_class}:{arg_str}"))
     return tuple(cores)
