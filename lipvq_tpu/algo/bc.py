@@ -275,6 +275,11 @@ class BCVAE(BC):
                     prior_use_gmm=bool(vc.prior.use_gmm),
                     prior_gmm_num_modes=int(vc.prior.gmm_num_modes),
                     prior_gmm_learn_weights=bool(vc.prior.gmm_learn_weights),
+                    prior_use_categorical=bool(vc.prior.use_categorical),
+                    prior_categorical_dim=int(vc.prior.categorical_dim),
+                    prior_categorical_gumbel_temp=float(
+                        vc.prior.categorical_init_temp
+                    ),
                     prior_layer_dims=tuple(vc.prior_layer_dims),
                     name="vae",
                 )

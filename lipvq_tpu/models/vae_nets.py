@@ -54,13 +54,24 @@ class VAE(nn.Module):
     prior_use_gmm: bool = False
     prior_gmm_num_modes: int = 10
     prior_gmm_learn_weights: bool = False
+    prior_use_categorical: bool = False
+    prior_categorical_dim: int = 10
+    prior_categorical_gumbel_temp: float = 1.0
     prior_layer_dims: Sequence[int] = (300, 400)
 
     def setup(self):
         self.enc_mlp = MLP(self.encoder_layer_dims,
                            self.encoder_layer_dims[-1], activation="relu")
-        self.enc_mu = TorchLinear(self.latent_dim)
-        self.enc_logvar = TorchLinear(self.latent_dim)
+        if self.prior_use_categorical:
+            # latent = latent_dim categorical groups of categorical_dim
+            # classes, relaxed with Gumbel-softmax (reference vae prior
+            # categorical settings; static temperature this round)
+            self.enc_logits = TorchLinear(
+                self.latent_dim * self.prior_categorical_dim
+            )
+        else:
+            self.enc_mu = TorchLinear(self.latent_dim)
+            self.enc_logvar = TorchLinear(self.latent_dim)
         self.dec_mlp = MLP(self.decoder_layer_dims,
                            self.decoder_layer_dims[-1], activation="relu")
         self.dec_out = TorchLinear(self.input_dim)
@@ -159,10 +170,42 @@ class VAE(nn.Module):
             h = jnp.concatenate([z, cond], axis=-1)
         return self.dec_out(self.dec_mlp(h))
 
+    def _categorical_forward(self, x, cond, rng):
+        h = x if cond is None else jnp.concatenate([x, cond], axis=-1)
+        h = self.enc_mlp(h)
+        logits = self.enc_logits(h).reshape(
+            -1, self.latent_dim, self.prior_categorical_dim
+        )
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(rng, logits.shape, minval=1e-10, maxval=1.0)
+        ))
+        z_soft = jax.nn.softmax(
+            (logits + g) / self.prior_categorical_gumbel_temp, axis=-1
+        )
+        z = z_soft.reshape(z_soft.shape[0], -1)
+        probs = jax.nn.softmax(logits, axis=-1)
+        kl = jnp.mean(jnp.sum(
+            probs * (jnp.log(probs + 1e-10)
+                     + jnp.log(float(self.prior_categorical_dim))),
+            axis=(-2, -1),
+        ))
+        recon = self.decode(z, cond)
+        return {
+            "reconstruction": recon,
+            "logits": logits,
+            "z": z,
+            "kl_loss": kl,
+            "mu": jnp.zeros((z.shape[0], self.latent_dim)),
+            "logvar": jnp.zeros((z.shape[0], self.latent_dim)),
+            "reconstruction_loss": jnp.mean((recon - x) ** 2),
+        }
+
     def __call__(self, x, cond=None, rng=None):
-        mu, logvar = self.encode(x, cond)
         if rng is None:
             rng = self.make_rng("sample")
+        if self.prior_use_categorical:
+            return self._categorical_forward(x, cond, rng)
+        mu, logvar = self.encode(x, cond)
         z = reparameterize(rng, mu, logvar)
         recon = self.decode(z, cond)
         return {
@@ -175,6 +218,15 @@ class VAE(nn.Module):
         }
 
     def sample_prior(self, key, batch_size, cond=None):
+        if self.prior_use_categorical:
+            cat = jax.random.randint(
+                key, (batch_size, self.latent_dim), 0,
+                self.prior_categorical_dim,
+            )
+            z = jax.nn.one_hot(cat, self.prior_categorical_dim).reshape(
+                batch_size, -1
+            )
+            return self.decode(z, cond)
         if self.prior_learn:
             k_mode, k_normal = jax.random.split(key)
             p_mu, p_logvar, p_logits = self._prior_params(cond, batch_size)

@@ -72,6 +72,50 @@ class ActionValueNetwork(nn.Module):
         return q
 
 
+class DistributionalActionValueNetwork(nn.Module):
+    """Categorical (C51-style) Q(s, a) over fixed value atoms
+    (reference value_nets.py DistributionalActionValueNetwork — used by
+    BCQ's distributional critic option): outputs per-atom logits; the
+    scalar value is the probability-weighted atom sum."""
+
+    group_specs: ObsSpec
+    ac_dim: int
+    num_atoms: int = 51
+    value_bounds: tuple = (-1.0, 200.0)
+    layer_dims: Sequence[int] = (300, 400)
+    encoder_cores: ObsSpec = ()
+
+    @nn.compact
+    def __call__(self, obs, actions, goal=None, train: bool = False,
+                 return_logits: bool = False):
+        enc = ObservationGroupEncoder(
+            self.group_specs, encoder_cores=self.encoder_cores, name="enc"
+        )
+        groups = {"obs": obs}
+        if goal is not None:
+            groups["goal"] = goal
+        h = enc(train=train, **groups)
+        h = jnp.concatenate([h, actions], axis=-1)
+        h = MLP(self.layer_dims, self.layer_dims[-1], activation="relu",
+                name="mlp")(h)
+        logits = TorchLinear(self.num_atoms, name="out")(h)
+        if return_logits:
+            return logits
+        atoms = jnp.linspace(
+            self.value_bounds[0], self.value_bounds[1], self.num_atoms
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.sum(probs * atoms[None], axis=-1)
+
+    @property
+    def atoms(self):
+        import numpy as np
+
+        return np.linspace(
+            self.value_bounds[0], self.value_bounds[1], self.num_atoms
+        )
+
+
 class QEnsemble(nn.Module):
     """n independent Q networks evaluated together."""
 
