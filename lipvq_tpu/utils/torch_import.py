@@ -98,6 +98,51 @@ def import_bin_state_dict(sd: dict, action_dim: int) -> tuple[dict, dict]:
     return params, stats
 
 
+def import_icl_policy_state_dict(sd: dict, num_layers: int) -> dict:
+    """Reference ICLTransformerGMMActorNetwork state_dict -> params for
+    ``ICLGMMActorNetwork`` (the ``net`` subtree of the algo's param tree).
+
+    Covers the low-dim + LipVQ configuration (visual-core weights import
+    separately). Reference layout (policy_nets.py:2375 over
+    ICL_MIMO_Transformer, obs_nets.py:2336):
+      nets.encoder.action_network.*        (LLFQVAE_V4)
+      nets.embed_encoder.{weight,bias}
+      params.embed_timestep                ([1, T, D] nn.Parameter)
+      nets.embed_ln.{weight,bias}
+      nets.transformer.nets.transformer.{i}.*  (GPT_Backbone)
+      nets.transformer.nets.output_ln.*
+      nets.decoder.nets.{mean,scale,logits}.{weight,bias}
+    """
+    vq_sd = {
+        k[len("nets.encoder.action_network."):]: v
+        for k, v in sd.items()
+        if k.startswith("nets.encoder.action_network.")
+    }
+    gpt_sd = {
+        k[len("nets.transformer."):]: v
+        for k, v in sd.items()
+        if k.startswith("nets.transformer.")
+    }
+    out = {
+        "encoder": {"action_network": import_lipvq_state_dict(vq_sd)},
+        "embed_encoder": _lin(sd, "nets.embed_encoder"),
+        "embed_ln": {
+            "scale": np.asarray(sd["nets.embed_ln.weight"]).astype(np.float32),
+            "bias": np.asarray(sd["nets.embed_ln.bias"]).astype(np.float32),
+        },
+        "transformer": import_gpt_backbone_state_dict(gpt_sd, num_layers),
+        "decoder": {
+            f"head_{k}": _lin(sd, f"nets.decoder.nets.{k}")
+            for k in ("mean", "scale", "logits")
+        },
+    }
+    if "params.embed_timestep" in sd:
+        out["embed_timestep"] = np.asarray(
+            sd["params.embed_timestep"]
+        ).astype(np.float32)
+    return out
+
+
 def import_gpt_backbone_state_dict(sd: dict, num_layers: int,
                                    prefix: str = "nets.transformer.") -> dict:
     """Reference GPT_Backbone state_dict -> GPTBackbone flax params.

@@ -147,6 +147,118 @@ def _build_torch_gpt(embed_dim=64, context_length=30, num_layers=2,
     return GPT()
 
 
+def _build_torch_icl_policy(obs_dim=17, ac_dim=12, embed_dim=64, t=10,
+                            layers=2, heads=4, num_modes=5, latent_dim=None,
+                            num_codes=32):
+    """Full reference-layout ICL GMM policy (low-dim obs + LipVQ tokenizer)
+    with its forward math (obs_nets.py:2545-2611 + policy_nets.py:2518-2581),
+    dropout 0 and causal=False as in the paper template."""
+    latent_dim = latent_dim or obs_dim
+    lip = _build_torch_lipvq(
+        feature_dim=ac_dim, latent_dim=latent_dim, num_codes=num_codes
+    )
+    gpt = _build_torch_gpt(embed_dim, 3 * t, layers, heads)
+
+    class Policy(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.nets = nn.ModuleDict()
+            enc = nn.Module()
+            enc.action_network = lip
+            self.nets["encoder"] = enc
+            self.nets["embed_encoder"] = nn.Linear(obs_dim, embed_dim)
+            self.nets["embed_ln"] = nn.LayerNorm(embed_dim)
+            self.nets["transformer"] = gpt
+            dec = nn.Module()
+            dec.nets = nn.ModuleDict({
+                "mean": nn.Linear(embed_dim, num_modes * ac_dim),
+                "scale": nn.Linear(embed_dim, num_modes * ac_dim),
+                "logits": nn.Linear(embed_dim, num_modes),
+            })
+            self.nets["decoder"] = dec
+            self.params = nn.ParameterDict({
+                "embed_timestep": nn.Parameter(torch.zeros(1, t, embed_dim))
+            })
+
+        def embed(self, feats):  # [B, T, obs_dim]
+            e = self.nets["embed_encoder"](feats) + self.params["embed_timestep"]
+            return self.nets["embed_ln"](e)
+
+        def forward(self, obs, ctx_obs, ctx_act):
+            b = obs.shape[0]
+            z, _, _ = lip(ctx_act.reshape(b * t, ac_dim))
+            z = z.detach().reshape(b, t, latent_dim)
+            e_obs = self.embed(obs)
+            e_ctx = self.embed(ctx_obs)
+            e_act = self.embed(z)
+            inter = torch.stack([e_ctx, e_act], dim=2).reshape(
+                b, 2 * t, e_obs.shape[-1]
+            )
+            h = gpt(torch.cat([inter, e_obs], dim=1))[:, -t:]
+            d = self.nets["decoder"].nets
+            mean = torch.tanh(d["mean"](h).reshape(b, t, num_modes, ac_dim))
+            scale = F.softplus(
+                d["scale"](h).reshape(b, t, num_modes, ac_dim)
+            ) + 1e-4
+            logits = d["logits"](h)
+            return mean, scale, logits
+
+    torch.manual_seed(11)
+    m = Policy()
+    # make LLFQVAE_V4's forward return (z_q, ids, recon) compatible: the
+    # lipvq test module returns that triple already
+    return m
+
+
+def test_full_icl_policy_weight_port(rng):
+    """End-to-end ICL policy checkpoint import: reference-layout torch
+    policy -> flax params -> matching GMM parameters on the same inputs."""
+    import jax
+
+    from lipvq_tpu.models.policy_nets import ICLGMMActorNetwork
+    from lipvq_tpu.models.obs_nets import obs_spec
+    from lipvq_tpu.utils.torch_import import import_icl_policy_state_dict
+
+    obs_dim, ac_dim, embed_dim, t, layers, heads = 17, 12, 64, 10, 2, 4
+    tm = _build_torch_icl_policy(obs_dim, ac_dim, embed_dim, t, layers, heads)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params_net = import_icl_policy_state_dict(sd, num_layers=layers)
+
+    net = ICLGMMActorNetwork(
+        group_specs=(("obs", obs_spec({"object": (obs_dim,)})),),
+        ac_dim=ac_dim, embed_dim=embed_dim, num_layers=layers,
+        num_heads=heads, context_length=t, causal=False,
+        emb_dropout=0.0, attn_dropout=0.0, block_output_dropout=0.0,
+        vq_vae_enabled=True, vq_num_codes=32,
+        num_modes=5, min_std=1e-4,
+    )
+    obs = rng.standard_normal((3, t, obs_dim)).astype(np.float32)
+    ctx_obs = rng.standard_normal((3, t, obs_dim)).astype(np.float32)
+    ctx_act = (rng.standard_normal((3, t, ac_dim)) * 0.4).astype(np.float32)
+
+    with torch.no_grad():
+        mean_t, scale_t, logits_t = tm(
+            torch.from_numpy(obs.copy()), torch.from_numpy(ctx_obs.copy()),
+            torch.from_numpy(ctx_act.copy()),
+        )
+
+    dists, aux = net.apply(
+        {"params": {"net": params_net}},
+        {"object": jnp.asarray(obs)}, {"object": jnp.asarray(ctx_obs)},
+        jnp.asarray(ctx_act), train=False, low_noise_eval=False,
+        method=ICLGMMActorNetwork.forward_train,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dists.means), mean_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dists.scales), scale_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dists.logits), logits_t.numpy(), rtol=2e-3, atol=2e-4
+    )
+
+
 def test_gpt_backbone_weight_port(rng):
     embed_dim, t, layers, heads = 64, 30, 2, 4
     tm = _build_torch_gpt(embed_dim, t, layers, heads)
