@@ -14,27 +14,35 @@ from lipvq_tpu.utils.tensor_utils import stack_collate
 
 
 class DataLoader:
-    """Shuffling mini-batch iterator over a SequenceDataset."""
+    """Shuffling mini-batch iterator over a SequenceDataset.
+
+    ``sampler`` (an iterable of indices, e.g. CustomWeightedRandomSampler
+    from a weighted MetaDataset) overrides the shuffle order — the
+    reference's weighted multi-dataset sampling path (dataset.py:1115)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True, sampler=None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.sampler = sampler
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        n = len(self.dataset)
-        order = (
-            self._rng.permutation(n) if self.shuffle else np.arange(n)
-        )
+        if self.sampler is not None:
+            order = np.fromiter(iter(self.sampler), dtype=np.int64)
+        elif self.shuffle:
+            order = self._rng.permutation(len(self.dataset))
+        else:
+            order = np.arange(len(self.dataset))
+        n = len(order)
         for i in range(0, n - (self.batch_size - 1 if self.drop_last else 0),
                        self.batch_size):
             idx = order[i : i + self.batch_size]

@@ -170,9 +170,12 @@ def should_save_from_rollout_logs(rollout_logs, best_return, best_success_rate,
 def make_loaders(config, train_ds, valid_ds):
     from lipvq_tpu.data.loaders import PrefetchLoader
 
+    sampler = None
+    if hasattr(train_ds, "get_dataset_sampler"):
+        sampler = train_ds.get_dataset_sampler(seed=config.train.seed)
     train_loader = DataLoader(
         train_ds, batch_size=config.train.batch_size, shuffle=True,
-        seed=config.train.seed,
+        seed=config.train.seed, sampler=sampler,
     )
     if config.train.num_data_workers:
         train_loader = PrefetchLoader(
