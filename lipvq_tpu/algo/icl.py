@@ -220,7 +220,12 @@ class ICLTransformerGMM(PolicyAlgo):
             if self.pred_future_acs:
                 assert out["actions"].shape[1] == h
         else:
-            out["actions"] = actions[:, h - 1]
+            # reference slices to [B, A] here (icl.py:788) but its own ICL
+            # encoder requires a [B, T, A] prompt-action window — the
+            # last-step path cannot run there. Knowing fix: keep the
+            # window for the context stream; the train step supervises
+            # only the final timestep.
+            out["actions"] = actions[:, :h]
         return out
 
     # -- jitted step -------------------------------------------------------
@@ -260,12 +265,14 @@ class ICLTransformerGMM(PolicyAlgo):
                 params, state.extra_vars, qry_obs, ctx_obs, ctx_act, goal,
                 drop_rng, train=update, low_noise_eval=False,
             )
+            target_act = qry_act
             if not self.supervise_all_steps:
                 dists = GMMParams(
                     means=dists.means[:, -1], scales=dists.scales[:, -1],
                     logits=dists.logits[:, -1],
                 )
-            lp = gmm_log_prob(dists, qry_act)
+                target_act = qry_act[:, -1]
+            lp = gmm_log_prob(dists, target_act)
             action_loss = -jnp.mean(lp)
             total = action_loss + aux
             return total, (action_loss, aux, new_extra)

@@ -271,6 +271,30 @@ class SequenceDataset:
             )
         return self.action_normalization_stats
 
+    def get_obs_normalization_stats(self) -> dict:
+        """Per-key mean/std over the training set for obs normalization
+        (reference SequenceDataset.normalize_obs / hdf5_normalize_obs;
+        stats stored as {scale, offset} so ObsUtils.normalize_dict's
+        (x - offset)/scale applies them as (x - mean)/std)."""
+        stats = {}
+        for key in self.obs_keys:
+            total, total_sq, n = 0.0, 0.0, 0
+            for ep in self.demos:
+                a = np.asarray(
+                    self._get_data(ep, f"obs/{key}"), np.float64
+                )
+                flat = a.reshape(a.shape[0], -1)
+                total = total + flat.sum(0)
+                total_sq = total_sq + (flat**2).sum(0)
+                n += flat.shape[0]
+            mean = total / n
+            std = np.sqrt(np.maximum(total_sq / n - mean**2, 1e-12))
+            stats[key] = {
+                "offset": mean.astype(np.float32),
+                "scale": np.maximum(std, 1e-6).astype(np.float32),
+            }
+        return stats
+
     def set_action_normalization_stats(self, stats: dict):
         self.action_normalization_stats = stats
 

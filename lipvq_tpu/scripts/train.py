@@ -92,6 +92,10 @@ def train(config, eval_only: bool = False):
     print(f"\n============= Training Dataset =============")
     print(f"{len(train_ds)} sequences / {train_ds.n_demos} demos")
 
+    obs_normalization_stats = None
+    if config.train.hdf5_normalize_obs:
+        obs_normalization_stats = train_ds.get_obs_normalization_stats()
+
     train_loader, valid_loader, context_loader = TrainUtils.make_loaders(
         config, train_ds, valid_ds
     )
@@ -204,6 +208,7 @@ def train(config, eval_only: bool = False):
             context_batch = model.process_batch_for_training(context_batch)
             policy = ICLRolloutPolicy(
                 model,
+                obs_normalization_stats=obs_normalization_stats,
                 action_normalization_stats=train_ds.get_action_normalization_stats(),
                 lang_encoder=lang_encoder,
             )
@@ -246,6 +251,7 @@ def train(config, eval_only: bool = False):
             FileUtils.save_checkpoint(
                 path, model, config,
                 env_meta=env_meta, shape_meta=shape_meta,
+                obs_normalization_stats=obs_normalization_stats,
                 action_normalization_stats=train_ds.get_action_normalization_stats(),
             )
             # restartable full state (params + optimizer + rng) — TPU-native
