@@ -32,6 +32,26 @@ class PrintLogger:
         self.log_file.flush()
 
 
+_WARNING_BUFFER: list[str] = []
+
+
+def log_warning(message: str, color: str = "yellow", print_now: bool = True):
+    """Buffer a warning for later flush (reference log_utils.py:203-220)."""
+    formatted = f"ROBOMIMIC WARNING(\n    {message}\n)"
+    if print_now:
+        print(formatted)
+    _WARNING_BUFFER.append(formatted)
+
+
+def flush_warnings():
+    """Re-print all buffered warnings (reference log_utils.py:222-230 —
+    called before training starts so setup warnings aren't lost in the
+    scrollback)."""
+    for w in _WARNING_BUFFER:
+        print(w)
+    _WARNING_BUFFER.clear()
+
+
 class DataLogger:
     """Scalar/image logger with running stats (reference log_utils.py:42-172)."""
 
