@@ -109,6 +109,7 @@ class ICLTransformerGMM(PolicyAlgo):
             sinusoidal_embedding=bool(tc.sinusoidal_embedding),
             nn_parameter_for_timesteps=bool(tc.nn_parameter_for_timesteps),
             activation=str(tc.activation),
+            remat=bool(tc.get("remat", False)),
             backbone=self.backbone,
             action_input_shape=self.ac_dim,
             vq_vae_enabled=bool(tc.vq_vae_enabled),

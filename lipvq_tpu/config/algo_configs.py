@@ -104,6 +104,7 @@ def _seq_backbone_defaults(section):
     section.nn_parameter_for_timesteps = True
     section.pred_future_acs = False
     section.causal = True
+    section.remat = False  # TPU extension: rematerialize blocks to save HBM
 
 
 class ICLConfig(BaseConfig):

@@ -360,6 +360,7 @@ class MIMOTransformer(nn.Module):
     sinusoidal_embedding: bool = False
     nn_parameter_for_timesteps: bool = True
     activation: str = "gelu"
+    remat: bool = False
     encoder_cores: ObsSpec = ()
 
     def setup(self):
@@ -384,6 +385,7 @@ class MIMOTransformer(nn.Module):
             num_layers=self.num_layers,
             num_heads=self.num_heads,
             activation=self.activation,
+            remat=self.remat,
         )
         self.decoder = ObservationDecoder(self.output_spec)
 
@@ -434,6 +436,7 @@ class ICLMIMOTransformer(nn.Module):
     sinusoidal_embedding: bool = False
     nn_parameter_for_timesteps: bool = True
     activation: str = "gelu"
+    remat: bool = False
     action_input_shape: int = 12
     vq_vae_enabled: bool = False
     bin_enabled: bool = False
@@ -499,6 +502,7 @@ class ICLMIMOTransformer(nn.Module):
                 num_layers=self.num_layers,
                 num_heads=self.num_heads,
                 activation=self.activation,
+                remat=self.remat,
             )
         self.decoder = ObservationDecoder(self.output_spec)
 

@@ -56,6 +56,7 @@ class ICLGMMActorNetwork(nn.Module):
     sinusoidal_embedding: bool = False
     nn_parameter_for_timesteps: bool = True
     activation: str = "gelu"
+    remat: bool = False
     backbone: str = "transformer"
     action_input_shape: int = 12
     vq_vae_enabled: bool = False
@@ -89,6 +90,7 @@ class ICLGMMActorNetwork(nn.Module):
             sinusoidal_embedding=self.sinusoidal_embedding,
             nn_parameter_for_timesteps=self.nn_parameter_for_timesteps,
             activation=self.activation,
+            remat=self.remat,
             action_input_shape=self.action_input_shape,
             vq_vae_enabled=self.vq_vae_enabled,
             bin_enabled=self.bin_enabled,

@@ -147,12 +147,17 @@ class GPTBackbone(nn.Module):
     num_layers: int = 6
     num_heads: int = 8
     activation: str = "gelu"
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert x.shape[1:] == (self.context_length, self.embed_dim), x.shape
+        block_cls = SelfAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(SelfAttentionBlock,
+                                 static_argnums=(2,))
         for i in range(self.num_layers):
-            x = SelfAttentionBlock(
+            x = block_cls(
                 self.embed_dim,
                 self.num_heads,
                 self.context_length,
@@ -161,5 +166,5 @@ class GPTBackbone(nn.Module):
                 output_dropout=self.block_output_dropout,
                 activation=self.activation,
                 name=f"block_{i}",
-            )(x, train=train)
+            )(x, train)
         return nn.LayerNorm(name="output_ln")(x)
