@@ -259,10 +259,28 @@ def _kernel_vmem_bytes(block_b: int, n_pad: int, d_pad: int) -> int:
 
 def vq_nearest(z_e: jax.Array, codebook: jax.Array, *, use_pallas: bool | None = None):
     """Dispatching lookup: fused Pallas kernel on TPU when the tile
-    budget fits VMEM, XLA expand-form otherwise, XLA reference on CPU."""
+    budget fits VMEM, XLA expand-form otherwise, XLA reference on CPU.
+
+    Inputs are stop-gradient'ed: the argmin ids are non-differentiable,
+    and without this the pallas_call (which has no JVP rule) breaks
+    reverse-mode tracing when the quantizer sits inside a train step.
+
+    Dispatch policy (measured on v5e): inside a big jitted program a
+    custom call blocks XLA fusion/pipelining — a train step with the
+    fused kernel ran ~70x slower than with the XLA expand form, while on
+    large standalone corpus batches the fused kernel wins. So small
+    batches (train steps) take the XLA expand path and only
+    corpus-scale batches (>= 64k rows) use the Pallas kernel.
+    """
+    z_e = jax.lax.stop_gradient(z_e)
+    codebook = jax.lax.stop_gradient(codebook)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (
+            jax.default_backend() == "tpu" and z_e.shape[0] >= (1 << 16)
+        )
     if not use_pallas:
+        if jax.default_backend() == "tpu":
+            return vq_nearest_xla_expand(z_e, codebook)
         return vq_nearest_reference(z_e, codebook)
     d_pad = _round_up(z_e.shape[1], 128)
     n_pad = _round_up(codebook.shape[0], 128)
