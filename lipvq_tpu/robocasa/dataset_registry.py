@@ -60,6 +60,21 @@ ALL_TASK_DATASETS = OrderedDict(
 DATASET_BASE_ENV = "ROBOCASA_DATASET_BASE"
 
 
+# public dataset release base (reference download_links; robocasa's
+# v0.1 release server)
+DOWNLOAD_BASE = (
+    "https://utexas.box.com/shared/static"  # robocasa v0.1 hosting
+)
+
+
+def get_ds_url(task: str, ds_type: str = "human_im") -> str | None:
+    """Download URL for a registry dataset (reference ds_info['url'],
+    dataset_registry.py:352). The reference stores per-file box links;
+    without network access we return the release base + expected layout
+    for scripts/download_datasets.py to report."""
+    return f"{DOWNLOAD_BASE}/{task}_{ds_type}.hdf5"
+
+
 def get_ds_path(task: str, ds_type: str = "human_im",
                 return_info: bool = False, base_path: str | None = None):
     """task + type -> hdf5 path (+ info dict). ds_type in
