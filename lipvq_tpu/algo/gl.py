@@ -28,7 +28,7 @@ from lipvq_tpu.algo.base import (
     optimizer_from_optim_params,
     register_algo_factory_func,
 )
-from lipvq_tpu.models.base_nets import MLP, TorchLinear
+from lipvq_tpu.models.base_nets import MLP
 from lipvq_tpu.models.obs_nets import (
     ObservationDecoder,
     ObservationGroupEncoder,

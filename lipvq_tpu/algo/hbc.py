@@ -18,7 +18,6 @@ import optax
 
 from lipvq_tpu.algo.base import (
     Algo,
-    optimizer_from_optim_params,
     register_algo_factory_func,
 )
 from lipvq_tpu.algo.bc import BCGMM

@@ -15,8 +15,6 @@ data-parallelizes over the mesh via sharded batches (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

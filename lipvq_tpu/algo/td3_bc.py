@@ -9,8 +9,6 @@ smoothing noise 0.2 clipped 0.5).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

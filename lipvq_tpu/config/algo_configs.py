@@ -15,7 +15,6 @@ MLP + TransformerEncoder raw-action tokenizer.
 from __future__ import annotations
 
 from lipvq_tpu.config.base import BaseConfig
-from lipvq_tpu.config.config import Config
 
 
 def _policy_optim_defaults(algo):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lipvq_tpu.models.base_nets import MLP, TorchLinear
-from lipvq_tpu.models.distributions import GMMParams, make_gmm
+from lipvq_tpu.models.distributions import make_gmm
 from lipvq_tpu.models.obs_nets import (
     ICLMIMOTransformer,
     ObsSpec,

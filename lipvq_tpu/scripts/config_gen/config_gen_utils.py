@@ -19,7 +19,6 @@ from lipvq_tpu.robocasa.dataset_registry import (
     get_ds_path,
     get_task_horizon,
 )
-from lipvq_tpu.utils.hyperparam_utils import ConfigGenerator
 
 TEMPLATE_DIR = os.path.join(
     os.path.dirname(
