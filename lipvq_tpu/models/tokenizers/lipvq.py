@@ -163,9 +163,12 @@ class LipVQVAE(nn.Module):
         recon_loss = jnp.mean((x_recon - x) ** 2)
         commitment_loss = jnp.mean((jax.lax.stop_gradient(z_q) - z_e) ** 2)
         if self.ema_codebook:
-            # codebook trains via EMA stats, not the codebook loss
+            # codebook trains via EMA stats, not the codebook loss; stats
+            # update only when the collection is mutable (training)
             loss = recon_loss + 0.25 * commitment_loss
-            if not self.is_initializing():
+            if not self.is_initializing() and self.is_mutable_collection(
+                "vq_stats"
+            ):
                 self._ema_update(z_e, ids)
         else:
             codebook_loss = jnp.mean((z_q - jax.lax.stop_gradient(z_e)) ** 2)
