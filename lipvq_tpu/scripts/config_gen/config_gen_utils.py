@@ -181,7 +181,14 @@ def make_generator(args, make_generator_helper):
         cfg = json.load(f)
 
     datasets = get_robocasa_ds(args.task, ds_types=(args.ds_type,))
-    cfg.setdefault("train", {})["data"] = datasets[0]["path"]
+    if len(datasets) == 1:
+        cfg.setdefault("train", {})["data"] = datasets[0]["path"]
+    else:
+        # multi-task training: list spec -> weighted MetaDataset
+        cfg.setdefault("train", {})["data"] = [
+            {"path": d["path"], "filter_key": d["filter_key"]}
+            for d in datasets
+        ]
     cfg.setdefault("experiment", {}).setdefault("rollout", {})[
         "horizon"
     ] = datasets[0]["horizon"]
