@@ -254,6 +254,10 @@ class BCQ(PolicyAlgo):
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
         batch = jax.tree.map(jnp.asarray, batch)
+        if validate:
+            # losses only — discard the updated state (no param movement)
+            _, metrics = self._jit_step(self.state, batch)
+            return {"losses": metrics}
         self.state, metrics = self._jit_step(self.state, batch)
         return {"losses": metrics}
 
