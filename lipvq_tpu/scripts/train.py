@@ -107,7 +107,12 @@ def train(config, eval_only: bool = False):
         try:
             from lipvq_tpu.envs.env_factory import create_env_from_metadata
 
-            env = create_env_from_metadata(env_meta)
+            rollout_env_meta = dict(env_meta)
+            if config.experiment.env:
+                # explicit eval-env override (reference train.py:124-132;
+                # used by the zero-shot eval flow)
+                rollout_env_meta["env_name"] = config.experiment.env
+            env = create_env_from_metadata(rollout_env_meta)
             envs[env.name] = env
             rollout_available = True
         except Exception as e:
