@@ -51,7 +51,11 @@ def collect_demo(env, policy_fn, max_steps: int, rng):
     return traj, bool(success)
 
 
-def write_demos(path: str, env, trajs: list[dict], lang: str | None = None):
+def write_demos(path: str, env, trajs: list[dict], lang: str | None = None,
+                write_next_obs: bool = True):
+    """write_next_obs stores obs shifted by one step (last repeated) so
+    offline-RL / GL / HBC algorithms (which need next_obs) train directly
+    on collected corpora."""
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
         data.attrs["env_args"] = json.dumps(env.serialize())
@@ -78,9 +82,14 @@ def write_demos(path: str, env, trajs: list[dict], lang: str | None = None):
             og = g.create_group("obs")
             keys = traj["obs"][0].keys()
             for k in keys:
-                og.create_dataset(
-                    k, data=np.stack([o[k] for o in traj["obs"]])
-                )
+                arr = np.stack([o[k] for o in traj["obs"]])
+                og.create_dataset(k, data=arr)
+            if write_next_obs:
+                nog = g.create_group("next_obs")
+                for k in keys:
+                    arr = np.stack([o[k] for o in traj["obs"]])
+                    nxt = np.concatenate([arr[1:], arr[-1:]], axis=0)
+                    nog.create_dataset(k, data=nxt)
             g.attrs["num_samples"] = n
             g.attrs["ep_meta"] = json.dumps(
                 {"lang": lang or getattr(env, "ep_lang_str", None) or "demo"}

@@ -1,0 +1,101 @@
+"""Tests for the sweep / zero-shot-eval / next_obs-collection scripts."""
+
+import json
+import os
+import sys
+
+import h5py
+import numpy as np
+
+from lipvq_tpu.utils.test_utils import make_synthetic_dataset
+
+
+def test_tokenizer_sweep_small(tmp_path):
+    from lipvq_tpu.scripts.tokenizer_sweep import load_corpus, train_tokenizer
+
+    path = make_synthetic_dataset(str(tmp_path / "d.hdf5"), n_demos=6,
+                                  demo_len=30)
+    corpus = load_corpus(path)
+    assert corpus.shape == (180, 12)
+    for ema in (False, True):
+        r = train_tokenizer(corpus, num_codes=32, ema=ema, latent_dim=16,
+                            steps=20, batch=64)
+        assert np.isfinite(r["final_train_loss"])
+        assert 0 <= r["codebook_utilization"] <= 1
+        assert r["codebook_update"] == ("ema" if ema else "loss")
+
+
+def test_collect_demos_writes_next_obs(tmp_path):
+    from lipvq_tpu.robocasa.env_utils import create_env
+    from lipvq_tpu.scripts.collect_demos import (
+        collect_demo, scripted_policy, write_demos,
+    )
+
+    env = create_env("SyntheticKitchen", seed=1)
+    rng = np.random.default_rng(1)
+    trajs = [collect_demo(env, scripted_policy, 30, rng)[0] for _ in range(2)]
+    path = str(tmp_path / "demos.hdf5")
+    write_demos(path, env, trajs)
+    with h5py.File(path, "r") as f:
+        obs = np.asarray(f["data/demo_0/obs/robot0_eef_pos"])
+        nobs = np.asarray(f["data/demo_0/next_obs/robot0_eef_pos"])
+        np.testing.assert_array_equal(nobs[:-1], obs[1:])
+        np.testing.assert_array_equal(nobs[-1], obs[-1])
+
+    # offline RL trains directly on the collected corpus
+    import lipvq_tpu.algo  # noqa: F401
+    from lipvq_tpu.algo.base import algo_factory
+    from lipvq_tpu.config import config_factory
+    from lipvq_tpu.data.dataset import SequenceDataset
+
+    cfg = config_factory("td3_bc", {"train": {"batch_size": 4}})
+    obs_keys = ["robot0_eef_pos", "object"]
+    with cfg.unlocked():
+        cfg.observation.modalities.obs.low_dim = obs_keys
+    model = algo_factory(
+        "td3_bc", cfg,
+        {"robot0_eef_pos": [3], "object": [14]}, ac_dim=12,
+    )
+    ds = SequenceDataset(
+        path, obs_keys=obs_keys, dataset_keys=["actions", "rewards", "dones"],
+        frame_stack=1, seq_length=2, load_next_obs=True,
+    )
+    from lipvq_tpu.data.loaders import DataLoader
+
+    batch = next(iter(DataLoader(ds, batch_size=4, shuffle=True)))
+    pb = model.process_batch_for_training(batch)
+    info = model.train_on_batch(pb, epoch=0)
+    assert np.isfinite(float(info["losses"]["action_loss"]))
+
+
+def test_eval_zr_ckpt_generator(tmp_path):
+    import lipvq_tpu.algo  # noqa: F401
+    from lipvq_tpu.algo.base import algo_factory
+    from lipvq_tpu.config import config_factory
+    from lipvq_tpu.scripts.config_gen import eval_zr_ckpt
+    from lipvq_tpu.utils.file_utils import save_checkpoint
+    from lipvq_tpu.utils.test_utils import icl_test_config_overrides
+
+    cfg = config_factory("icl", icl_test_config_overrides())
+    obs_key_shapes = {"robot0_eef_pos": [3], "object": [14]}
+    with cfg.unlocked():
+        cfg.observation.modalities.obs.low_dim = list(obs_key_shapes)
+    model = algo_factory("icl", cfg, obs_key_shapes, ac_dim=12)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, model, cfg, shape_meta={
+        "all_shapes": obs_key_shapes, "all_obs_keys": list(obs_key_shapes),
+        "ac_dim": 12,
+    })
+    argv = sys.argv
+    sys.argv = ["zr", "--ckpt", ckpt, "--name", "zr", "--task", "OpenDrawer",
+                "--output_dir", str(tmp_path)]
+    try:
+        eval_zr_ckpt.main()
+    finally:
+        sys.argv = argv
+    out = os.path.join(str(tmp_path), "configs", "zr_zr.json")
+    with open(out) as f:
+        c = json.load(f)
+    assert c["experiment"]["env"] == "OpenDrawer"
+    assert c["experiment"]["rollout"]["horizon"] == 500
+    assert c["train"]["num_epochs"] == 0
