@@ -46,22 +46,43 @@ class PriseTokenizer:
     """Reference-compatible API: train/textualize/encode/decode."""
 
     def __init__(self, algo: str = "bpe", vocab_size: int = 2048):
-        assert algo == "bpe", (
-            "native backend implements BPE; wordpiece/unigram variants are "
-            "available via the HF fallback (reference prise/backbone.py:26-33)"
-        )
         self.algo = algo
         self.vocab_size = vocab_size
         self.alphabet = byte_level_alphabet()
         self.char_index_map = {
             char: str(i) for i, char in enumerate(self.alphabet)
         }
-        self._lib = load_bpe_lib()
-        self._h = self._lib.bpe_new()
+        self._hf = None
+        if algo == "bpe":
+            self._lib = load_bpe_lib()
+            self._h = self._lib.bpe_new()
+        elif algo in ("wordpiece", "unigram"):
+            # wordpiece/unigram ride the HF tokenizers backend exactly as
+            # the reference does (prise/backbone.py:26-42); the native C++
+            # path covers the BPE default
+            import tokenizers
+            from tokenizers.pre_tokenizers import WhitespaceSplit
+
+            if algo == "wordpiece":
+                from tokenizers.models import WordPiece
+
+                self._hf = tokenizers.Tokenizer(
+                    WordPiece(unk_token="[UNK]",
+                              max_input_chars_per_word=100000)
+                )
+                self._hf.decoder = tokenizers.decoders.WordPiece()
+            else:
+                from tokenizers.models import Unigram
+
+                self._hf = tokenizers.Tokenizer(Unigram())
+            self._hf.pre_tokenizer = WhitespaceSplit()
+        else:
+            raise NotImplementedError(algo)
 
     def __del__(self):
         try:
-            self._lib.bpe_free(self._h)
+            if self._hf is None:
+                self._lib.bpe_free(self._h)
         except Exception:
             pass
 
@@ -85,16 +106,31 @@ class PriseTokenizer:
     def train(self, corpus, min_frequency: int = 2,
               max_token_length: int = 100, verbose: bool = False):
         text = self.textualize(corpus)
-        self._lib.bpe_train(
-            self._h, text.encode("utf-8"), self.vocab_size,
-            min_frequency, max_token_length,
-        )
-        self.vocab_size = self._lib.bpe_vocab_size(self._h)
+        if self._hf is not None:
+            from tokenizers.trainers import UnigramTrainer, WordPieceTrainer
+
+            trainer_cls = (
+                WordPieceTrainer if self.algo == "wordpiece" else UnigramTrainer
+            )
+            kwargs = dict(vocab_size=self.vocab_size,
+                          special_tokens=["[UNK]"], show_progress=False)
+            if self.algo == "wordpiece":
+                kwargs.update(min_frequency=min_frequency)
+            self._hf.train_from_iterator([text], trainer=trainer_cls(**kwargs))
+            self.vocab_size = self._hf.get_vocab_size()
+        else:
+            self._lib.bpe_train(
+                self._h, text.encode("utf-8"), self.vocab_size,
+                min_frequency, max_token_length,
+            )
+            self.vocab_size = self._lib.bpe_vocab_size(self._h)
         if verbose:
             print(f"Learned vocab size: {self.vocab_size}")
 
     def encode(self, raw, verbose: bool = False) -> list[int]:
         text = self.textualize(raw)
+        if self._hf is not None:
+            return self._hf.encode(text).ids
         cap = max(16, 4 * len(text))
         out = (ctypes.c_int32 * cap)()
         n = self._lib.bpe_encode(self._h, text.encode("utf-8"), out, cap)
@@ -102,6 +138,9 @@ class PriseTokenizer:
         return list(out[:n])
 
     def decode(self, token_ids, verbose: bool = False) -> list[int]:
+        if self._hf is not None:
+            text = self._hf.decode([int(i) for i in token_ids])
+            return self.detextualize(text)
         ids = (ctypes.c_int32 * len(token_ids))(*[int(i) for i in token_ids])
         cap = 16 + 8 * max(1, len(token_ids)) * 8
         buf = ctypes.create_string_buffer(cap)

@@ -88,3 +88,18 @@ def test_save_load(tmp_path, rng):
     tok2.load(p)
     assert tok2.encode(seq) == ids
     assert tok2.decode(ids) == seq
+
+
+def test_wordpiece_and_unigram_variants(rng):
+    """wordpiece/unigram ride the HF backend exactly as the reference does
+    (prise/backbone.py:26-42)."""
+    corpus = [[int(x) for x in rng.integers(0, 24, rng.integers(3, 10))]
+              for _ in range(150)]
+    for algo in ("wordpiece", "unigram"):
+        tok = PriseTokenizer(algo, 96)
+        tok.train(corpus, min_frequency=2, max_token_length=8)
+        seq = corpus[0]
+        ids = tok.encode(seq)
+        assert len(ids) >= 1
+        back = tok.decode(ids)
+        assert back == seq, (algo, seq, back)

@@ -115,3 +115,25 @@ def test_full_state_resume(tmp_path, rng):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
     )
     assert np.isfinite(moment_mass) and moment_mass > 0
+
+
+def test_subproc_vector_env():
+    """Pipe-based subprocess vector env (the reference's tianshou
+    SubprocVectorEnv equivalent)."""
+    from lipvq_tpu.envs.vector_env import SubprocVectorEnv
+
+    def mk(seed):
+        def f():
+            return SyntheticKitchenEnv(seed=seed)
+        return f
+
+    vec = SubprocVectorEnv([mk(0), mk(1)], frame_stack=3)
+    try:
+        obs = vec.reset()
+        assert obs["robot0_eef_pos"].shape == (2, 3, 3)
+        obs, rews, dones, infos = vec.step(np.zeros((2, 12)))
+        assert rews.shape == (2,)
+        succ = vec.is_success()
+        assert len(succ) == 2 and "task" in succ[0]
+    finally:
+        vec.close()
