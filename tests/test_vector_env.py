@@ -119,15 +119,17 @@ def test_full_state_resume(tmp_path, rng):
 
 def test_subproc_vector_env():
     """Pipe-based subprocess vector env (the reference's tianshou
-    SubprocVectorEnv equivalent)."""
+    SubprocVectorEnv equivalent). Env factories must be picklable under
+    the spawn start method — use functools.partial of the class."""
+    import functools
+
     from lipvq_tpu.envs.vector_env import SubprocVectorEnv
 
-    def mk(seed):
-        def f():
-            return SyntheticKitchenEnv(seed=seed)
-        return f
-
-    vec = SubprocVectorEnv([mk(0), mk(1)], frame_stack=3)
+    vec = SubprocVectorEnv(
+        [functools.partial(SyntheticKitchenEnv, seed=0),
+         functools.partial(SyntheticKitchenEnv, seed=1)],
+        frame_stack=3,
+    )
     try:
         obs = vec.reset()
         assert obs["robot0_eef_pos"].shape == (2, 3, 3)
