@@ -34,8 +34,19 @@ class SyntheticKitchenEnv(EnvBase):
         return self.get_observation()
 
     def reset_to(self, state):
-        self._pos = np.asarray(state["pos"], np.float32)
-        self._goal = np.asarray(state["goal"], np.float32)
+        """Accepts the dict form {'pos', 'goal'} or a flattened state
+        vector [pos(3), goal(3)] (the form stored in collected HDF5
+        'states' datasets / passed by the extraction pipeline as
+        {'states': vec})."""
+        if isinstance(state, dict) and "states" in state:
+            state = np.asarray(state["states"], np.float32).ravel()
+        if isinstance(state, dict):
+            self._pos = np.asarray(state["pos"], np.float32)
+            self._goal = np.asarray(state["goal"], np.float32)
+        else:
+            flat = np.asarray(state, np.float32).ravel()
+            self._pos = flat[:3].copy()
+            self._goal = flat[3:6].copy()
         self._t = 0
         return self.get_observation()
 

@@ -62,23 +62,35 @@ def test_playback(ds):
     assert n == 25
 
 
-def test_states_to_obs_multiprocess(ds, tmp_path):
-    """The N-worker + writer extraction pipeline (SURVEY.md §3.5).
+def test_states_to_obs_multiprocess(tmp_path):
+    """The N-worker + writer extraction pipeline (SURVEY.md §3.5), run
+    end-to-end: collected demos (with real 6-dim env states) replay
+    through per-worker envs and produce an obs HDF5."""
+    import numpy as np
 
-    The synthetic env's reset_to consumes {'pos','goal'} dicts, not raw
-    state vectors, so this exercises the *pipeline* (queues, writer,
-    fault recovery): demos whose replay raises are recorded as failed and
-    the writer still completes.
-    """
+    from lipvq_tpu.robocasa.env_utils import create_env
+    from lipvq_tpu.scripts.collect_demos import (
+        collect_demo, scripted_policy, write_demos,
+    )
     from lipvq_tpu.scripts.dataset_states_to_obs import (
         dataset_states_to_obs_multiprocessing,
     )
 
+    env = create_env("SyntheticKitchen", seed=5)
+    rng = np.random.default_rng(5)
+    trajs = [collect_demo(env, scripted_policy, 20, rng)[0] for _ in range(3)]
+    src = str(tmp_path / "raw.hdf5")
+    write_demos(src, env, trajs)
+
     out = str(tmp_path / "out.hdf5")
-    dataset_states_to_obs_multiprocessing(ds, out, num_procs=2)
-    assert os.path.exists(out)
+    dataset_states_to_obs_multiprocessing(src, out, num_procs=2)
     with h5py.File(out, "r") as f:
-        assert "data" in f  # writer completed even with failed demos
+        assert f["data"].attrs["total"] >= 1
+        demos = list(f["data"].keys())
+        assert demos, "no demos extracted"
+        g = f[f"data/{demos[0]}"]
+        assert "obs/robot0_eef_pos" in g
+        assert g["obs/robot0_eef_pos"].shape[1] == 3
 
 
 def test_corpus_tokenization_roundtrip(ds):
