@@ -143,6 +143,62 @@ def import_icl_policy_state_dict(sd: dict, num_layers: int) -> dict:
     return out
 
 
+def _conv(sd, key):
+    """torch Conv2d weight [out, in, kh, kw] -> flax [kh, kw, in, out]."""
+    return {
+        "kernel": np.asarray(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)
+        .astype(np.float32)
+    }
+
+
+def _bn(sd, key):
+    params = {
+        "scale": np.asarray(sd[f"{key}.weight"]).astype(np.float32),
+        "bias": np.asarray(sd[f"{key}.bias"]).astype(np.float32),
+    }
+    stats = {
+        "mean": np.asarray(sd[f"{key}.running_mean"]).astype(np.float32),
+        "var": np.asarray(sd[f"{key}.running_var"]).astype(np.float32),
+    }
+    return params, stats
+
+
+def import_resnet18_state_dict(sd: dict, prefix: str = ""):
+    """torchvision-layout ResNet-18 state_dict -> (params, batch_stats)
+    for ``obs_core.ResNet18Conv``. Enables porting ImageNet / R3M / MVP
+    pretrained trunks (strip their wrapper prefixes first; classifier
+    fc.* keys are ignored).
+
+    torchvision layout: conv1, bn1, layer{1..4}.{0,1}.conv{1,2}/bn{1,2}
+    (+ .downsample.{0,1} on stage-entry blocks).
+    """
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: dict = {}
+    stats: dict = {}
+
+    params["stem_conv"] = _conv(sd, "conv1")
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "bn1")
+    for stage in range(1, 5):
+        for block in range(2):
+            name = f"layer{stage}_{block}"
+            tkey = f"layer{stage}.{block}"
+            p: dict = {}
+            s: dict = {}
+            p["conv1"] = _conv(sd, f"{tkey}.conv1")
+            p["bn1"], s["bn1"] = _bn(sd, f"{tkey}.bn1")
+            p["conv2"] = _conv(sd, f"{tkey}.conv2")
+            p["bn2"], s["bn2"] = _bn(sd, f"{tkey}.bn2")
+            if f"{tkey}.downsample.0.weight" in sd:
+                p["downsample_conv"] = _conv(sd, f"{tkey}.downsample.0")
+                p["downsample_bn"], s["downsample_bn"] = _bn(
+                    sd, f"{tkey}.downsample.1"
+                )
+            params[name] = p
+            stats[name] = s
+    return params, stats
+
+
 def import_gpt_backbone_state_dict(sd: dict, num_layers: int,
                                    prefix: str = "nets.transformer.") -> dict:
     """Reference GPT_Backbone state_dict -> GPTBackbone flax params.

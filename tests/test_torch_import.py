@@ -275,3 +275,75 @@ def test_gpt_backbone_weight_port(rng):
         out_t = tm(torch.from_numpy(x.copy())).numpy()
     out_j = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-5)
+
+
+def _build_torch_resnet18():
+    """torchvision-layout ResNet-18 trunk (conv1/bn1/layer1-4) with its
+    forward math, for weight-port parity without torchvision installed."""
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = F.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return F.relu(y + idn)
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            chans = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+            for i, (cin, cout, st) in enumerate(chans):
+                setattr(self, f"layer{i+1}", nn.Sequential(
+                    Block(cin, cout, st), Block(cout, cout, 1)
+                ))
+
+        def forward(self, x):
+            x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+            for i in range(1, 5):
+                x = getattr(self, f"layer{i}")(x)
+            return x
+
+    torch.manual_seed(21)
+    m = Trunk().eval()
+    # randomize BN running stats so the port is actually exercised
+    for mod in m.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.2, 0.2)
+            mod.running_var.uniform_(0.8, 1.2)
+    return m
+
+
+def test_resnet18_weight_port(rng):
+    from lipvq_tpu.models.obs_core import ResNet18Conv
+    from lipvq_tpu.utils.torch_import import import_resnet18_state_dict
+
+    tm = _build_torch_resnet18()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = import_resnet18_state_dict(sd)
+
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+    net = ResNet18Conv()
+    out_j = np.asarray(net.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    ))
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=2e-4)
