@@ -362,11 +362,13 @@ class VisualCore(nn.Module):
 class PretrainedReprConv(nn.Module):
     """Frozen pretrained visual representation backbone (the reference's
     R3MConv / MVPConv wrappers, base_nets.py:1091/1187, load torchvision
-    checkpoints from the r3m/mvp packages). This port consumes a
-    flax-params msgpack at ``ckpt_path`` (produce one with
-    utils/torch_import-style converters); without a checkpoint it falls
-    back to a randomly initialized ResNet18 trunk and logs that parity
-    with pretrained features requires the weights.
+    checkpoints from the r3m/mvp packages).
+
+    ``load_pretrained(path)`` returns the (params, batch_stats) override
+    for this module from a converted checkpoint — produce one with
+    ``python -m lipvq_tpu.scripts.import_torch_ckpt --component resnet18``
+    (torchvision/R3M/MVP state_dicts). Without a checkpoint the trunk is
+    randomly initialized.
     """
 
     ckpt_path: str | None = None
@@ -378,6 +380,19 @@ class PretrainedReprConv(nn.Module):
         if self.freeze:
             h = jax.lax.stop_gradient(h)
         return h
+
+    @staticmethod
+    def load_pretrained(path: str):
+        """Converted-ckpt msgpack -> {'params': {'backbone': ...},
+        'batch_stats': {'backbone': ...}} override trees."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+        return (
+            {"backbone": restored["params"]},
+            {"backbone": restored.get("batch_stats", {})},
+        )
 
 
 class R3MConv(PretrainedReprConv):

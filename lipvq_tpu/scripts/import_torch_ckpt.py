@@ -40,6 +40,13 @@ def convert(sd: dict, component: str, num_layers: int = 6) -> dict:
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
         return TI.import_icl_policy_state_dict(sd, num_layers=num_layers)
+    if component == "resnet18":
+        # torchvision / R3M ("module.convnet.") / MVP trunk layouts
+        for prefix in ("module.convnet.", "convnet.", "backbone.", ""):
+            if any(k.startswith(prefix + "conv1.") for k in sd):
+                params, stats = TI.import_resnet18_state_dict(sd, prefix)
+                return {"params": params, "batch_stats": stats}
+        raise ValueError("no torchvision-layout resnet18 keys found")
     raise ValueError(component)
 
 
@@ -55,9 +62,12 @@ def main():
     from flax import serialization
 
     sd = load_torch_state_dict(args.torch_ckpt)
-    params = convert(sd, args.component, num_layers=args.num_layers)
+    converted = convert(sd, args.component, num_layers=args.num_layers)
+    if "params" not in converted:
+        converted = {"params": converted}
+    params = converted["params"]
     with open(args.output, "wb") as f:
-        f.write(serialization.msgpack_serialize({"params": params}))
+        f.write(serialization.msgpack_serialize(converted))
     print(f"wrote {args.output} "
           f"({sum(v.size for v in __import__('jax').tree.leaves(params))} "
           f"parameters)")
