@@ -163,6 +163,23 @@ class HBC(Algo):
         planner.deserialize(d["planner"])
         self.actor.deserialize(d["actor"])
 
+    def serialize_full(self):
+        from flax import serialization
+
+        planner = getattr(self, "_raw_planner", self.planner)
+        return serialization.msgpack_serialize(
+            {"planner": planner.serialize_full(),
+             "actor": self.actor.serialize_full()}
+        )
+
+    def deserialize_full(self, payload):
+        from flax import serialization
+
+        d = serialization.msgpack_restore(payload)
+        planner = getattr(self, "_raw_planner", self.planner)
+        planner.deserialize_full(d["planner"])
+        self.actor.deserialize_full(d["actor"])
+
 
 class _GoalConditionedBC(BCGMM):
     """BC-GMM whose goal group is the planner's subgoal obs set."""

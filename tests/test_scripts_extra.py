@@ -99,3 +99,84 @@ def test_eval_zr_ckpt_generator(tmp_path):
     assert c["experiment"]["env"] == "OpenDrawer"
     assert c["experiment"]["rollout"]["horizon"] == 500
     assert c["train"]["num_epochs"] == 0
+
+
+def test_import_torch_ckpt_cli(tmp_path):
+    """Full CLI path: torch.save payload -> converted msgpack."""
+    import torch
+
+    from tests.test_torch_import import _build_torch_lipvq
+
+    tm = _build_torch_lipvq(feature_dim=12, latent_dim=32, num_codes=16)
+    ckpt = str(tmp_path / "ref.pth")
+    torch.save({"model": tm.state_dict()}, ckpt)
+
+    from lipvq_tpu.scripts import import_torch_ckpt as cli
+
+    argv = sys.argv
+    out = str(tmp_path / "params.msgpack")
+    sys.argv = ["imp", "--torch_ckpt", ckpt, "--output", out,
+                "--component", "lipvq"]
+    try:
+        cli.main()
+    finally:
+        sys.argv = argv
+
+    # converted params drive the JAX tokenizer with bit-identical ids
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from lipvq_tpu.models.tokenizers.lipvq import LipVQVAE
+
+    with open(out, "rb") as f:
+        params = serialization.msgpack_restore(f.read())["params"]
+    model = LipVQVAE(12, 32, num_codes=16)
+    x = np.random.default_rng(0).standard_normal((64, 12)).astype(np.float32)
+    ids = np.asarray(
+        model.apply({"params": params}, jnp.asarray(x),
+                    method=LipVQVAE.tokenize)
+    )
+    with torch.no_grad():
+        _, ids_t, _ = tm(torch.from_numpy(x.copy()))
+    np.testing.assert_array_equal(ids, ids_t.numpy())
+
+
+def test_hbc_trains_via_train_loop(tmp_path):
+    """HBC (planner+actor) end-to-end through the train() driver on a
+    collected corpus with next_obs."""
+    from lipvq_tpu.config import config_factory
+    from lipvq_tpu.robocasa.env_utils import create_env
+    from lipvq_tpu.scripts.collect_demos import (
+        collect_demo, scripted_policy, write_demos,
+    )
+    from lipvq_tpu.scripts.train import train
+
+    env = create_env("SyntheticKitchen", seed=7)
+    rng = np.random.default_rng(7)
+    trajs = [collect_demo(env, scripted_policy, 25, rng)[0] for _ in range(4)]
+    data = str(tmp_path / "demos.hdf5")
+    write_demos(data, env, trajs)
+
+    cfg = config_factory("hbc", {
+        "train": {"data": data, "batch_size": 6, "seq_length": 10,
+                  "output_dir": str(tmp_path / "out"),
+                  "hdf5_load_next_obs": True},
+        "experiment": {
+            "epoch_every_n_steps": 2, "validate": False,
+            "rollout": {"enabled": False},
+            "save": {"enabled": True, "every_n_epochs": 1},
+            "logging": {"terminal_output_to_txt": False, "log_tb": False},
+        },
+        "algo": {
+            "planner": {"subgoal_horizon": 5,
+                        "ae": {"planner_layer_dims": [32, 32]}},
+            "actor": {"actor_layer_dims": [32, 32]},
+        },
+        "observation": {"modalities": {"obs": {"low_dim": [
+            "robot0_eef_pos", "object"]}}},
+    })
+    with cfg.unlocked():
+        cfg.train.num_epochs = 1
+    ckpt_dir = train(cfg)
+    assert os.path.isdir(ckpt_dir)
