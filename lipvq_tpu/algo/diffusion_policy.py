@@ -275,3 +275,18 @@ class DiffusionPolicyUNet(PolicyAlgo):
             params=restored["params"], extra_vars=restored["extra_vars"]
         )
         self._ema_params = restored["ema_params"]
+
+    def serialize_full(self):
+        from flax import serialization
+
+        return serialization.to_bytes(
+            {**self.state._asdict(), "ema_params": self._ema_params}
+        )
+
+    def deserialize_full(self, payload):
+        from flax import serialization
+
+        template = {**self.state._asdict(), "ema_params": self._ema_params}
+        restored = serialization.from_bytes(template, payload)
+        self._ema_params = restored.pop("ema_params")
+        self.state = type(self.state)(**restored)

@@ -180,3 +180,41 @@ def test_hbc_trains_via_train_loop(tmp_path):
         cfg.train.num_epochs = 1
     ckpt_dir = train(cfg)
     assert os.path.isdir(ckpt_dir)
+
+
+def test_diffusion_trains_via_train_loop(tmp_path):
+    """Diffusion Policy end-to-end through the train() driver."""
+    from lipvq_tpu.config import config_factory
+    from lipvq_tpu.robocasa.env_utils import create_env
+    from lipvq_tpu.scripts.collect_demos import (
+        collect_demo, scripted_policy, write_demos,
+    )
+    from lipvq_tpu.scripts.train import train
+
+    env = create_env("SyntheticKitchen", seed=9)
+    rng = np.random.default_rng(9)
+    trajs = [collect_demo(env, scripted_policy, 30, rng)[0] for _ in range(4)]
+    data = str(tmp_path / "demos.hdf5")
+    write_demos(data, env, trajs)
+
+    cfg = config_factory("diffusion_policy", {
+        "train": {"data": data, "batch_size": 4, "seq_length": 16,
+                  "frame_stack": 2, "output_dir": str(tmp_path / "out"),
+                  "num_epochs": 1},
+        "experiment": {
+            "epoch_every_n_steps": 2, "validate": False,
+            "rollout": {"enabled": False},
+            "save": {"enabled": True, "every_n_epochs": 1},
+            "logging": {"terminal_output_to_txt": False, "log_tb": False},
+        },
+        "algo": {"unet": {"down_dims": [16, 32]},
+                 "ddpm": {"num_train_timesteps": 5,
+                          "num_inference_timesteps": 5}},
+        "observation": {"modalities": {"obs": {"low_dim": [
+            "robot0_eef_pos", "object"]}}},
+    })
+    ckpt_dir = train(cfg)
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(ckpt_dir, "*.ckpt"))
+    assert os.path.exists(os.path.join(ckpt_dir, "latest_full.state"))
