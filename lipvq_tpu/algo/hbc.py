@@ -14,8 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-
 from lipvq_tpu.algo.base import (
     Algo,
     register_algo_factory_func,
@@ -23,8 +21,6 @@ from lipvq_tpu.algo.base import (
 from lipvq_tpu.algo.bc import BCGMM
 from lipvq_tpu.algo.gl import GL, GLVAE, ValuePlanner
 from lipvq_tpu.config.config import Config
-from lipvq_tpu.models.obs_nets import obs_spec
-from lipvq_tpu.models.value_nets import ValueNetwork
 
 
 @register_algo_factory_func("hbc")
@@ -212,32 +208,43 @@ class _GoalConditionedBC(BCGMM):
 
 
 class IRIS(HBC):
-    """HBC with a value-guided planner (reference iris.py)."""
+    """HBC with a value-guided planner (reference iris.py): a BCQ value
+    algorithm trains alongside, and subgoal samples are scored by BCQ's
+    state value (candidate-action max of the mixed Q ensemble) — the
+    reference's ValuePlanner composition (iris.py value source = BCQ)."""
 
     def __init__(self, algo_config, obs_config, global_config,
                  obs_key_shapes, ac_dim):
         super().__init__(algo_config, obs_config, global_config,
                          obs_key_shapes, ac_dim)
         assert isinstance(self.planner, GLVAE), "IRIS requires a VAE planner"
-        spec = obs_spec(self.planner.obs_shapes)
-        self.value_net = ValueNetwork(group_specs=(("obs", spec),))
-        seed = int(global_config.train.seed)
-        dummy = {
-            k: jnp.zeros((2,) + tuple(s), jnp.float32)
-            for k, s in self.planner.obs_shapes.items()
-        }
-        self._value_params = self.value_net.init(
-            jax.random.PRNGKey(seed + 11), dummy
-        )["params"]
-        self._value_tx = optax.adam(1e-4)
-        self._value_opt = self._value_tx.init(self._value_params)
-        self.discount = float(algo_config.get("discount", 0.99))
+        from lipvq_tpu.algo.bcq import BCQ
+        from lipvq_tpu.config import config_factory
 
-        def value_fn(obs):
-            return self.value_net.apply(
-                {"params": self._value_params},
-                jax.tree.map(jnp.asarray, obs),
+        value_cfg = config_factory("bcq").algo
+        if "value" in algo_config:
+            value_cfg = Config(value_cfg.to_dict())
+            with value_cfg.unlocked():
+                value_cfg.update_from(algo_config.value.to_dict(),
+                                      strict=False)
+        self.value_bcq = BCQ(
+            algo_config=value_cfg,
+            obs_config=obs_config,
+            global_config=_sub_config(global_config, value_cfg, obs_config),
+            obs_key_shapes=obs_key_shapes,
+            ac_dim=ac_dim,
+        )
+
+        def value_fn(subgoal_obs):
+            b = self.value_bcq
+            rng, key = jax.random.split(b.state.rng)
+            b.state = b.state._replace(rng=rng)
+            q_best, _ = b._candidate_q(
+                b.state.params["critic"], b.state.params["perturb"],
+                b.state.params["sampler"],
+                jax.tree.map(jnp.asarray, subgoal_obs), key, b.n_samples,
             )
+            return q_best
 
         self._raw_planner = self.planner
         self.planner = ValuePlanner(
@@ -245,52 +252,38 @@ class IRIS(HBC):
             num_samples=int(algo_config.get("num_subgoal_samples", 10)),
         )
 
-        @jax.jit
-        def value_step(params, opt_state, obs, next_obs, rewards, dones):
-            def loss_fn(p):
-                v = self.value_net.apply({"params": p}, obs)
-                v_next = self.value_net.apply({"params": p}, next_obs)
-                target = rewards + (1.0 - dones) * self.discount * (
-                    jax.lax.stop_gradient(v_next)
-                )
-                return jnp.mean((v - target) ** 2)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = self._value_tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
-        self._jit_value_step = value_step
-
     def process_batch_for_training(self, batch):
-        out = {
+        return {
             "planner": self._raw_planner.process_batch_for_training(batch),
             "actor": self.actor.process_batch_for_training(batch),
+            "value": self.value_bcq.process_batch_for_training(batch),
         }
-        out["value"] = {
-            "obs": {k: np.asarray(v)[:, 0] for k, v in batch["obs"].items()},
-            "next_obs": {
-                k: np.asarray(v)[:, 0] for k, v in batch["next_obs"].items()
-            },
-            "rewards": np.asarray(batch["rewards"])[:, 0].astype(np.float32),
-            "dones": np.asarray(batch["dones"])[:, 0].astype(np.float32),
-        }
-        return out
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
         info = super().train_on_batch(
             {"planner": batch["planner"], "actor": batch["actor"]},
             epoch, validate=validate,
         )
-        if not validate:
-            v = batch["value"]
-            self._value_params, self._value_opt, v_loss = self._jit_value_step(
-                self._value_params, self._value_opt,
-                jax.tree.map(jnp.asarray, v["obs"]),
-                jax.tree.map(jnp.asarray, v["next_obs"]),
-                jnp.asarray(v["rewards"]), jnp.asarray(v["dones"]),
-            )
-            info["losses"]["value_loss"] = v_loss
+        v_info = self.value_bcq.train_on_batch(
+            batch["value"], epoch, validate=validate
+        )
+        info["losses"]["value_loss"] = v_info["losses"]["critic_loss"]
         return info
 
-    def train_on_batch_planner(self, *a, **k):
-        return self._raw_planner.train_on_batch(*a, **k)
+    def serialize(self):
+        from flax import serialization
+
+        return serialization.msgpack_serialize({
+            "planner": self._raw_planner.serialize(),
+            "actor": self.actor.serialize(),
+            "value": self.value_bcq.serialize(),
+        })
+
+    def deserialize(self, payload):
+        from flax import serialization
+
+        d = serialization.msgpack_restore(payload)
+        self._raw_planner.deserialize(d["planner"])
+        self.actor.deserialize(d["actor"])
+        if "value" in d:
+            self.value_bcq.deserialize(d["value"])
