@@ -297,6 +297,30 @@ class GLVAE(GL):
         )
         return jax.tree.map(np.asarray, out)
 
+    @property
+    def latent_dim(self) -> int:
+        return int(self.algo_config.vae.latent_dim)
+
+    def encode_latent_subgoals(self, obs_dict, subgoals) -> np.ndarray:
+        """Posterior means q(z | subgoal, obs-features) — the latent
+        targets the HBC actor conditions on in latent-subgoal mode
+        (reference hbc.py:101-102)."""
+        out = self.net.apply(
+            {"params": self.state.params, **self.state.extra_vars},
+            jax.tree.map(jnp.asarray, obs_dict),
+            jax.tree.map(jnp.asarray, subgoals),
+            rngs={"sample": jax.random.fold_in(self.state.rng, 3)},
+        )
+        return np.asarray(out["mu"])
+
+    def sample_latent_subgoals(self, obs_dict, num_samples: int = 1):
+        """Prior latents z ~ N(0, I) (or the learned prior) as subgoals."""
+        rng, key = jax.random.split(self.state.rng)
+        self.state = self.state._replace(rng=rng)
+        b = jax.tree.leaves(obs_dict)[0].shape[0] * num_samples
+        z = jax.random.normal(key, (b, self.latent_dim))
+        return np.asarray(z)
+
     def get_subgoal_predictions(self, obs_dict, goal_dict=None):
         s = self.sample_subgoals(obs_dict, goal_dict, num_samples=1)
         return s

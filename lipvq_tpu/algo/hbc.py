@@ -71,7 +71,25 @@ class HBC(Algo):
             obs_key_shapes=obs_key_shapes,
             ac_dim=ac_dim,
         )
-        # actor is goal-conditioned on the planner's subgoal obs set
+        # actor is goal-conditioned on the planner's subgoal obs set, or on
+        # the planner VAE's latent when latent_subgoal is enabled
+        # (reference hbc.py:99-104)
+        self.latent_subgoal = bool(
+            algo_config.get("latent_subgoal", {}).get("enabled", False)
+        )
+        if self.latent_subgoal:
+            assert isinstance(self.planner, GLVAE), (
+                "latent_subgoal requires a VAE planner (reference hbc.py:101)"
+            )
+            actor_goal_shapes = {
+                "latent_subgoal": (self.planner.latent_dim,)
+            }
+        else:
+            actor_goal_shapes = (
+                self.planner.subgoal_shapes
+                if hasattr(self.planner, "subgoal_shapes")
+                else dict(obs_key_shapes)
+            )
         actor_obs_config = (
             obs_config.actor if "actor" in obs_config else obs_config
         )
@@ -83,8 +101,7 @@ class HBC(Algo):
             ),
             obs_key_shapes=obs_key_shapes,
             ac_dim=ac_dim,
-            subgoal_shapes=self.planner.subgoal_shapes
-            if hasattr(self.planner, "subgoal_shapes") else dict(obs_key_shapes),
+            subgoal_shapes=actor_goal_shapes,
         )
         self._current_subgoal = None
         self._step_counter = 0
@@ -104,9 +121,16 @@ class HBC(Algo):
             batch["planner"], epoch, validate=validate
         )
         # actor conditions on the planner's target subgoals (reference
-        # hbc.py: actor goals = planner target subgoals)
+        # hbc.py: actor goals = planner target subgoals), or their VAE
+        # posterior latents in latent-subgoal mode
         actor_batch = dict(batch["actor"])
-        actor_batch["goal_obs"] = batch["planner"]["target_subgoals"]
+        if getattr(self, "latent_subgoal", False):
+            z = trainable_planner.encode_latent_subgoals(
+                batch["planner"]["obs"], batch["planner"]["target_subgoals"]
+            )
+            actor_batch["goal_obs"] = {"latent_subgoal": z}
+        else:
+            actor_batch["goal_obs"] = batch["planner"]["target_subgoals"]
         a_info = self.actor.train_on_batch(
             actor_batch, epoch, validate=validate
         )
@@ -132,9 +156,14 @@ class HBC(Algo):
             self._current_subgoal is None
             or self._step_counter % self._subgoal_update_interval == 0
         ):
-            self._current_subgoal = self.planner.get_subgoal_predictions(
-                obs_dict, goal_dict
-            )
+            if getattr(self, "latent_subgoal", False):
+                planner = getattr(self, "_raw_planner", self.planner)
+                z = planner.sample_latent_subgoals(obs_dict, num_samples=1)
+                self._current_subgoal = {"latent_subgoal": z}
+            else:
+                self._current_subgoal = self.planner.get_subgoal_predictions(
+                    obs_dict, goal_dict
+                )
         self._step_counter += 1
         return self.actor.get_action(obs_dict, goal_dict=self._current_subgoal)
 
