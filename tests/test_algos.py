@@ -126,3 +126,25 @@ def test_registry_covers_reference_list():
         "diffusion_policy", "act", "mcr", "icl", "icl_mamba",
     }
     assert expected <= set(ALGO_REGISTRY.keys())
+
+
+def test_hbc_latent_subgoal(rng):
+    """Latent-subgoal HBC (reference hbc.py:99-104): actor conditions on
+    planner VAE latents."""
+    cfg = config_factory("hbc", {
+        "train": {"batch_size": 6},
+        "algo": {"latent_subgoal": {"enabled": True},
+                 "planner": {"vae": {"enabled": True, "latent_dim": 8}},
+                 "actor": {"actor_layer_dims": [32, 32]}},
+    })
+    with cfg.unlocked():
+        cfg.observation.modalities.obs.low_dim = list(OBS_KEY_SHAPES)
+    model = algo_factory("hbc", cfg, OBS_KEY_SHAPES, ac_dim=12)
+    batch = _make_batch(rng, T=10)
+    pb = model.process_batch_for_training(batch)
+    info = model.train_on_batch(pb, epoch=0)
+    assert np.isfinite(float(info["losses"]["action_loss"]))
+    assert model.actor.goal_shapes == {"latent_subgoal": (8,)}
+    model.reset()
+    a = model.get_action({k: v[:2, 0] for k, v in batch["obs"].items()})
+    assert np.asarray(a).shape == (2, 12)
