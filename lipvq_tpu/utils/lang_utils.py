@@ -22,6 +22,32 @@ _CLIP_NAME = "openai/clip-vit-large-patch14"
 
 logger = logging.getLogger(__name__)
 
+# model_name -> resolved backend ("clip" | "hash"), shared across instances
+# so one process pays the probe (and the heavyweight transformers import)
+# at most once per model.
+_BACKEND_CACHE: dict = {}
+
+
+def _local_weights_cached(model_name: str) -> bool:
+    """Cheap filesystem probe for a HF-hub-cached snapshot — avoids even
+    importing ``transformers`` (a multi-second import) when the weights
+    cannot possibly load in a zero-egress environment."""
+    import os
+
+    hub_dir = os.environ.get("HF_HUB_CACHE") or os.path.join(
+        os.environ.get(
+            "HF_HOME", os.path.expanduser("~/.cache/huggingface")
+        ),
+        "hub",
+    )
+    snap = os.path.join(
+        hub_dir, "models--" + model_name.replace("/", "--"), "snapshots"
+    )
+    try:
+        return any(os.scandir(snap))
+    except OSError:
+        return False
+
 
 class LangEncoder:
     def __init__(self, model_name: str = _CLIP_NAME):
@@ -34,22 +60,58 @@ class LangEncoder:
     def _load(self):
         if self._backend is not None:
             return
+        # Load order: (1) locally-cached HF weights only — never touches the
+        # network, so hermetic/zero-egress environments fail over in
+        # milliseconds instead of stalling ~50 s in HF's retry/backoff loop;
+        # (2) a network download only when LIPVQ_ALLOW_DOWNLOAD=1 is set
+        # explicitly; (3) deterministic hash-projection fallback.
+        import os
+
+        allow_download = os.environ.get("LIPVQ_ALLOW_DOWNLOAD", "0") == "1"
+        cached = _BACKEND_CACHE.get(self.model_name)
+        if cached == "hash" or (
+            cached is None
+            and not allow_download
+            and not _local_weights_cached(self.model_name)
+        ):
+            self._backend = "hash"
+            _BACKEND_CACHE[self.model_name] = "hash"
+            logger.warning(
+                "LangEncoder: no locally-cached CLIP weights for %s; using "
+                "deterministic hash-projection embeddings. Set "
+                "LIPVQ_ALLOW_DOWNLOAD=1 to fetch from the hub.",
+                self.model_name,
+            )
+            return
         try:
             from transformers import AutoTokenizer, CLIPTextModelWithProjection
 
-            self._tokenizer = AutoTokenizer.from_pretrained(self.model_name)
-            self._model = CLIPTextModelWithProjection.from_pretrained(
-                self.model_name
-            )
+            try:
+                self._tokenizer = AutoTokenizer.from_pretrained(
+                    self.model_name, local_files_only=True
+                )
+                self._model = CLIPTextModelWithProjection.from_pretrained(
+                    self.model_name, local_files_only=True
+                )
+            except Exception:
+                if not allow_download:
+                    raise
+                self._tokenizer = AutoTokenizer.from_pretrained(self.model_name)
+                self._model = CLIPTextModelWithProjection.from_pretrained(
+                    self.model_name
+                )
             self._model.eval()
             self._backend = "clip"
+            _BACKEND_CACHE[self.model_name] = "clip"
             logger.info("LangEncoder: using CLIP text tower %s", self.model_name)
         except Exception as e:  # no weights cached / no network
             self._backend = "hash"
+            _BACKEND_CACHE[self.model_name] = "hash"
             logger.warning(
                 "LangEncoder: CLIP weights unavailable (%s); using "
                 "deterministic hash-projection embeddings. Closed-loop parity "
-                "with reference checkpoints requires real CLIP embeddings.",
+                "with reference checkpoints requires real CLIP embeddings. "
+                "Set LIPVQ_ALLOW_DOWNLOAD=1 to fetch weights from the hub.",
                 type(e).__name__,
             )
 

@@ -24,6 +24,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound (tiny models,
+# many distinct jit programs), so caching XLA executables across runs cuts
+# repeat-suite wall time substantially. Safe on the spoofed CPU platform.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
