@@ -212,7 +212,7 @@ class ACT(PolicyAlgo):
         return new_state, metrics
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = self._put_batch(batch)
         step = self._jit_val_step if validate else self._jit_train_step
         self.state, metrics = step(self.state, batch)
         return {"losses": metrics}

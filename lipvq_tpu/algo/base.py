@@ -21,6 +21,7 @@ from collections.abc import Callable
 from typing import Any, NamedTuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 # ---------------------------------------------------------------------------
@@ -175,6 +176,47 @@ class Algo:
                 self.obs_shapes[k] = shape
             if any(k in v for v in goal_group.values()):
                 self.goal_shapes[k] = shape
+
+    # -- multi-device execution --------------------------------------------
+    mesh = None  # jax.sharding.Mesh when attached; None = single device
+
+    def attach_mesh(self, mesh) -> None:
+        """Enable data-parallel execution over a ``jax.sharding.Mesh``:
+        replicate the train state across devices and shard every training
+        batch on its leading (batch) axis. The jitted train steps are
+        unchanged — GSPMD inserts the gradient / EMA-stat psums
+        (SURVEY.md §2.5, §5.8). This is the product multi-chip path: both
+        ``scripts/train.py`` (``train.num_devices``) and the driver's
+        ``dryrun_multichip`` go through here."""
+        from lipvq_tpu.parallel.mesh import replicate
+
+        self.mesh = mesh
+        if self.state is not None:
+            self.state = replicate(mesh, self.state)
+        # composite algos (HBC/IRIS/GL wrappers) hold sub-algos with their
+        # own TrainState — propagate
+        for attr in ("planner", "actor", "value_bcq", "_raw_planner"):
+            sub = getattr(self, attr, None)
+            if isinstance(sub, Algo):
+                sub.attach_mesh(mesh)
+
+    def _put_batch(self, batch):
+        """Host batch -> device. Shards on the leading axis when a mesh is
+        attached; plain transfer otherwise."""
+        if self.mesh is not None:
+            from lipvq_tpu.parallel.mesh import shard_batch
+
+            n = self.mesh.shape["data"]
+            lead = {leaf.shape[0] for leaf in jax.tree.leaves(batch)
+                    if hasattr(leaf, "shape") and leaf.ndim > 0}
+            bad = [b for b in lead if b % n != 0]
+            if bad:
+                raise ValueError(
+                    f"batch leading dim(s) {sorted(bad)} not divisible by "
+                    f"data-parallel mesh size {n}; adjust train.batch_size"
+                )
+            return shard_batch(self.mesh, batch)
+        return jax.tree.map(jnp.asarray, batch)
 
     # -- to implement ------------------------------------------------------
     def _create_networks(self):

@@ -215,7 +215,7 @@ class CQL(PolicyAlgo):
         }
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = self._put_batch(batch)
         if validate:
             # losses only — discard the updated state (no param movement)
             _, metrics = self._jit_step(self.state, batch)

@@ -207,7 +207,7 @@ class DiffusionPolicyUNet(PolicyAlgo):
         return new_state, ema_params, {"action_loss": loss}
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = self._put_batch(batch)
         step = self._jit_val_step if validate else self._jit_train_step
         self.state, self._ema_params, metrics = step(
             self.state, self._ema_params, batch

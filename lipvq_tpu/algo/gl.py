@@ -161,7 +161,7 @@ class GL(Algo):
         return state, {"action_loss": loss, "goal_loss": loss}
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = self._put_batch(batch)
         step = self._jit_val if validate else self._jit_train
         self.state, metrics = step(self.state, batch)
         return {"losses": metrics}

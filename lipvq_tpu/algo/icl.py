@@ -331,7 +331,7 @@ class ICLTransformerGMM(PolicyAlgo):
         return new_state, metrics
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = self._put_batch(batch)
         if validate:
             self.state, metrics = self._jit_val_step(self.state, batch)
         else:

@@ -184,7 +184,7 @@ class IQL(PolicyAlgo):
         }
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = self._put_batch(batch)
         if validate:
             # losses only, no update (reference validates with no_grad)
             state, metrics = self._jit_step(self.state, batch)

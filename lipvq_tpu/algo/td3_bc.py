@@ -180,7 +180,7 @@ class TD3_BC(PolicyAlgo):
         }
 
     def train_on_batch(self, batch, epoch, validate: bool = False):
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = self._put_batch(batch)
         step = self._jit_val if validate else self._jit_step
         self.state, metrics = step(self.state, batch)
         return {"losses": metrics}

@@ -142,6 +142,10 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         t.action_config.do_not_lock_keys()
         t.goal_mode = None
         t.cuda = True  # kept for template compat; device selection is JAX's
+        # data-parallel device count: None = single-device (reference
+        # parity), -1 = all visible devices, N = first N devices. When set,
+        # train() builds a Mesh and shards every batch (SURVEY.md §2.5).
+        t.num_devices = None
         t.batch_size = 100
         t.num_epochs = 2000
         t.seed = 1

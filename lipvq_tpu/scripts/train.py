@@ -85,6 +85,25 @@ def train(config, eval_only: bool = False):
             ckpt = FileUtils.load_checkpoint_dict(ckpt_path)
             model.deserialize(ckpt["model"])
 
+    # data-parallel mesh (train.num_devices; SURVEY.md §2.5) — the same
+    # attach_mesh path the driver's dryrun_multichip exercises. Attached
+    # after checkpoint load so restored state gets replicated too.
+    n_dev = config.train.get("num_devices", None)
+    if n_dev is not None:
+        import jax
+
+        from lipvq_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices()) if int(n_dev) == -1 else int(n_dev)
+        if config.train.batch_size % n != 0:
+            raise ValueError(
+                f"train.batch_size={config.train.batch_size} not divisible "
+                f"by num_devices={n}"
+            )
+        mesh = make_mesh(n)
+        model.attach_mesh(mesh)
+        print(f"Data-parallel training over {n} devices: {mesh}")
+
     lang_encoder = LangEncoder()
     train_ds, valid_ds = TrainUtils.load_data_for_training(
         config, obs_keys=shape_meta["all_obs_keys"], lang_encoder=lang_encoder
@@ -133,6 +152,8 @@ def train(config, eval_only: bool = False):
                 print(f"follow-along: loading {candidate}")
                 ckpt = FileUtils.load_checkpoint_dict(candidate)
                 model.deserialize(ckpt["model"])
+                if model.mesh is not None:  # re-replicate loaded state
+                    model.attach_mesh(model.mesh)
         step_log = TrainUtils.run_epoch(
             model, train_loader, epoch,
             num_steps=config.experiment.epoch_every_n_steps,
