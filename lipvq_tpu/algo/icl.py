@@ -37,7 +37,7 @@ from lipvq_tpu.algo.base import (
 )
 from lipvq_tpu.models.distributions import GMMParams, gmm_log_prob, gmm_sample
 from lipvq_tpu.models.obs_nets import obs_spec
-from lipvq_tpu.models.policy_nets import ICLGMMActorNetwork
+from lipvq_tpu.models.policy_nets import ICLActorNetwork, ICLGMMActorNetwork
 
 _MUTABLE = ("batch_stats", "bin_stats", "spectral_stats", "vq_stats")
 
@@ -53,7 +53,6 @@ def algo_config_to_class(algo_config):
 
 @register_algo_factory_func("icl_mamba")
 def mamba_algo_config_to_class(algo_config):
-    assert algo_config.mamba.enabled or True
     if algo_config.gmm.enabled:
         return ICLMambaGMM, {}
     return ICLTransformer, {"backbone": "mamba"}
@@ -67,6 +66,7 @@ class ICLTransformerGMM(PolicyAlgo):
     """ICL training with a Transformer (or Mamba) GMM policy."""
 
     backbone = "transformer"
+    net_cls = ICLGMMActorNetwork
 
     def __init__(self, *args, backbone: str | None = None, **kwargs):
         if backbone is not None:
@@ -95,7 +95,7 @@ class ICLTransformerGMM(PolicyAlgo):
 
         vq_cfg = self.algo_config.get("vq", {})
         self.vq_ema = bool(vq_cfg.get("ema_codebook", False))
-        self.net = ICLGMMActorNetwork(
+        self.net = self.net_cls(
             group_specs=tuple(group_specs),
             ac_dim=self.ac_dim,
             embed_dim=int(tc.embed_dim),
@@ -144,7 +144,7 @@ class ICLTransformerGMM(PolicyAlgo):
             {"params": jax.random.PRNGKey(seed),
              "dropout": jax.random.PRNGKey(seed + 1)},
             dummy_obs, dummy_obs, dummy_act, goal=dummy_goal, train=False,
-            method=ICLGMMActorNetwork.forward_train,
+            method=self.net_cls.forward_train,
         )
         self._params = variables["params"]
         self._extra_vars = {k: v for k, v in variables.items() if k != "params"}
@@ -229,6 +229,17 @@ class ICLTransformerGMM(PolicyAlgo):
             out["actions"] = actions[:, :h]
         return out
 
+    # -- head-specific pieces (overridden by the non-GMM variant) ----------
+    def _slice_last_step(self, dists):
+        return GMMParams(
+            means=dists.means[:, -1], scales=dists.scales[:, -1],
+            logits=dists.logits[:, -1],
+        )
+
+    def _policy_loss(self, dists, target_act):
+        """GMM NLL (reference icl.py:947-974)."""
+        return -jnp.mean(gmm_log_prob(dists, target_act))
+
     # -- jitted step -------------------------------------------------------
     def _apply_forward(self, params, extra_vars, obs, ctx_obs, ctx_act, goal,
                       rng, train: bool, low_noise_eval: bool):
@@ -241,7 +252,7 @@ class ICLTransformerGMM(PolicyAlgo):
             low_noise_eval=low_noise_eval,
             rngs={"dropout": rng},
             mutable=mutable,
-            method=ICLGMMActorNetwork.forward_train,
+            method=self.net_cls.forward_train,
         )
         if mutable:
             (dists, aux), updates = out
@@ -268,13 +279,9 @@ class ICLTransformerGMM(PolicyAlgo):
             )
             target_act = qry_act
             if not self.supervise_all_steps:
-                dists = GMMParams(
-                    means=dists.means[:, -1], scales=dists.scales[:, -1],
-                    logits=dists.logits[:, -1],
-                )
+                dists = self._slice_last_step(dists)
                 target_act = qry_act[:, -1]
-            lp = gmm_log_prob(dists, target_act)
-            action_loss = -jnp.mean(lp)
+            action_loss = self._policy_loss(dists, target_act)
             total = action_loss + aux
             return total, (action_loss, aux, new_extra)
 
@@ -356,10 +363,14 @@ class ICLTransformerGMM(PolicyAlgo):
             state.params, state.extra_vars, obs, ctx_obs, ctx_act, goal,
             key, train=False, low_noise_eval=True,
         )
-        out = gmm_sample(dists, key)
+        out = self._action_from_head(dists, key)
         if self.supervise_all_steps and self.pred_future_acs:
             return out[:, 0]
         return out[:, -1]
+
+    def _action_from_head(self, dists, key):
+        """GMM: sample (reference policy_nets.py:2583-2599)."""
+        return gmm_sample(dists, key)
 
     def get_action(self, obs_dict, context_batch, goal_dict=None):
         """obs_dict leaves [B, T, ...]; context_batch holds obs/actions
@@ -382,6 +393,40 @@ class ICLMambaGMM(ICLTransformerGMM):
 
 
 class ICLTransformer(ICLTransformerGMM):
-    """Non-GMM ICL (deterministic head) — reference ICLTransformer
-    (icl.py:719). Falls back to GMM with 1 mode for now; the reference's
-    robocasa configs always run the GMM variant."""
+    """Non-GMM ICL: deterministic tanh actor + weighted L2/SmoothL1/cosine
+    loss (reference ICLTransformer, icl.py:719-853, loss weights from
+    ``algo.loss.*`` per icl.py:187-201 / icl_config.py:43-45).
+
+    The reference class is partially dead code — its ``get_action``
+    forward drops the context stream (see ICLActorNetwork docstring) —
+    so this implements the intended semantics with the working ICL
+    machinery: 3-stream forward, context/query batch halving, separate
+    VQ optimizer."""
+
+    net_cls = ICLActorNetwork
+
+    def _slice_last_step(self, preds):
+        return preds[:, -1]
+
+    def _policy_loss(self, preds, target_act):
+        """Weighted L2 + SmoothL1 + cosine(first 3 dims)
+        (reference icl.py:187-201; cosine per loss_utils.py:11-23)."""
+        lw = self.algo_config.loss
+        diff = preds - target_act
+        l2 = jnp.mean(diff**2)
+        # torch SmoothL1Loss default beta=1.0
+        ad = jnp.abs(diff)
+        l1 = jnp.mean(jnp.where(ad < 1.0, 0.5 * diff**2, ad - 0.5))
+        p3, t3 = preds[..., :3], target_act[..., :3]
+        sim = jnp.sum(p3 * t3, -1) / (
+            jnp.linalg.norm(p3, axis=-1) * jnp.linalg.norm(t3, axis=-1) + 1e-8
+        )
+        cos = -jnp.mean(sim - 1.0)
+        return (
+            float(lw.l2_weight) * l2
+            + float(lw.l1_weight) * l1
+            + float(lw.cos_weight) * cos
+        )
+
+    def _action_from_head(self, preds, key):
+        return preds

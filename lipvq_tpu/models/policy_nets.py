@@ -140,6 +140,64 @@ class ICLGMMActorNetwork(nn.Module):
         return gmm_sample(dists, key), aux
 
 
+class ICLActorNetwork(ICLGMMActorNetwork):
+    """Deterministic (non-GMM) ICL policy: same ICL composite, a single
+    tanh-squashed ``action`` head.
+
+    Reference counterpart: ``ICLTransformerActorNetwork``
+    (policy_nets.py:1562-1736) / ``ICLMambaActorNetwork`` (:1738). NOTE
+    the reference classes are dead code as written — their ``forward``
+    drops the context stream entirely and calls
+    ``super(TransformerActorNetwork, self)`` with ``TransformerActorNetwork``
+    not in the MRO (the robocasa configs only ever run the GMM variant).
+    This implements the *intended* semantics: the full 3-stream ICL
+    forward with a deterministic head (tanh squash per :1729-1732)."""
+
+    def setup(self):
+        self.net = ICLMIMOTransformer(
+            group_specs=self.group_specs,
+            output_spec=obs_spec({"action": (self.ac_dim,)}),
+            backbone=self.backbone,
+            embed_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            context_length=self.context_length,
+            causal=self.causal,
+            emb_dropout=self.emb_dropout,
+            attn_dropout=self.attn_dropout,
+            block_output_dropout=self.block_output_dropout,
+            sinusoidal_embedding=self.sinusoidal_embedding,
+            nn_parameter_for_timesteps=self.nn_parameter_for_timesteps,
+            activation=self.activation,
+            remat=self.remat,
+            action_input_shape=self.action_input_shape,
+            vq_vae_enabled=self.vq_vae_enabled,
+            bin_enabled=self.bin_enabled,
+            fast_enabled=self.fast_enabled,
+            ln_act_enabled=self.ln_act_enabled,
+            vq_num_codes=self.vq_num_codes,
+            vq_hidden_dim=self.vq_hidden_dim,
+            vq_ema_codebook=self.vq_ema_codebook,
+            vq_ema_decay=self.vq_ema_decay,
+            encoder_cores=self.encoder_cores,
+        )
+
+    def forward_train(self, obs, context_obs, actions, goal=None,
+                      train: bool = False, low_noise_eval: bool | None = None):
+        """Return (tanh-squashed action sequence [B, T, ac_dim], vq aux)."""
+        outputs, aux = self.net(
+            obs, context_obs, actions, goal=goal, train=train
+        )
+        return jnp.tanh(outputs["action"]), aux
+
+    def __call__(self, obs, context_obs, actions, goal=None,
+                 train: bool = False):
+        preds, aux = self.forward_train(
+            obs, context_obs, actions, goal=goal, train=train
+        )
+        return preds, aux
+
+
 class GMMActorNetwork(nn.Module):
     """MLP GMM actor for BC (reference policy_nets.py:429)."""
 
