@@ -110,6 +110,11 @@ class ICLTransformerGMM(PolicyAlgo):
             nn_parameter_for_timesteps=bool(tc.nn_parameter_for_timesteps),
             activation=str(tc.activation),
             remat=bool(tc.get("remat", False)),
+            compute_dtype=(
+                None
+                if str(tc.get("compute_dtype", "float32")) == "float32"
+                else str(tc.get("compute_dtype"))
+            ),
             backbone=self.backbone,
             action_input_shape=self.ac_dim,
             vq_vae_enabled=bool(tc.vq_vae_enabled),
@@ -192,8 +197,12 @@ class ICLTransformerGMM(PolicyAlgo):
             extra_vars=self._extra_vars,
             rng=jax.random.PRNGKey(seed + 2),
         )
+        # donate the TrainState buffers: params/opt-state are overwritten
+        # every step, so XLA can update in place instead of allocating a
+        # second copy (halves peak HBM for the state, removes copies)
         self._jit_train_step = jax.jit(
-            functools.partial(self._train_step_impl, update=True)
+            functools.partial(self._train_step_impl, update=True),
+            donate_argnums=(0,),
         )
         self._jit_val_step = jax.jit(
             functools.partial(self._train_step_impl, update=False)

@@ -104,6 +104,12 @@ def _seq_backbone_defaults(section):
     section.pred_future_acs = False
     section.causal = True
     section.remat = False  # TPU extension: rematerialize blocks to save HBM
+    # TPU extension: backbone matmul precision. "bfloat16" runs the
+    # attention/MLP matmuls on the MXU in bf16 with fp32 params +
+    # accumulation (the standard TPU mixed-precision recipe); the VQ
+    # tokenizer always stays fp32 for token-ID parity. Set "float32" for
+    # bit-level reference parity runs.
+    section.compute_dtype = "bfloat16"
 
 
 class ICLConfig(BaseConfig):

@@ -361,6 +361,7 @@ class MIMOTransformer(nn.Module):
     nn_parameter_for_timesteps: bool = True
     activation: str = "gelu"
     remat: bool = False
+    compute_dtype: str | None = None
     encoder_cores: ObsSpec = ()
 
     def setup(self):
@@ -386,6 +387,7 @@ class MIMOTransformer(nn.Module):
             num_heads=self.num_heads,
             activation=self.activation,
             remat=self.remat,
+            compute_dtype=self.compute_dtype,
         )
         self.decoder = ObservationDecoder(self.output_spec)
 
@@ -437,6 +439,7 @@ class ICLMIMOTransformer(nn.Module):
     nn_parameter_for_timesteps: bool = True
     activation: str = "gelu"
     remat: bool = False
+    compute_dtype: str | None = None
     action_input_shape: int = 12
     vq_vae_enabled: bool = False
     bin_enabled: bool = False
@@ -503,6 +506,7 @@ class ICLMIMOTransformer(nn.Module):
                 num_heads=self.num_heads,
                 activation=self.activation,
                 remat=self.remat,
+                compute_dtype=self.compute_dtype,
             )
         self.decoder = ObservationDecoder(self.output_spec)
 

@@ -57,6 +57,7 @@ class ICLGMMActorNetwork(nn.Module):
     nn_parameter_for_timesteps: bool = True
     activation: str = "gelu"
     remat: bool = False
+    compute_dtype: str | None = None
     backbone: str = "transformer"
     action_input_shape: int = 12
     vq_vae_enabled: bool = False
@@ -91,6 +92,7 @@ class ICLGMMActorNetwork(nn.Module):
             nn_parameter_for_timesteps=self.nn_parameter_for_timesteps,
             activation=self.activation,
             remat=self.remat,
+            compute_dtype=self.compute_dtype,
             action_input_shape=self.action_input_shape,
             vq_vae_enabled=self.vq_vae_enabled,
             bin_enabled=self.bin_enabled,
@@ -170,6 +172,7 @@ class ICLActorNetwork(ICLGMMActorNetwork):
             nn_parameter_for_timesteps=self.nn_parameter_for_timesteps,
             activation=self.activation,
             remat=self.remat,
+            compute_dtype=self.compute_dtype,
             action_input_shape=self.action_input_shape,
             vq_vae_enabled=self.vq_vae_enabled,
             bin_enabled=self.bin_enabled,

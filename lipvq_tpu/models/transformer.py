@@ -53,7 +53,11 @@ def sinusoidal_position_encoding(timesteps: jax.Array, embed_dim: int) -> jax.Ar
 
 class SelfAttention(nn.Module):
     """Multi-head self-attention with construction-time mask
-    (reference transformers.py:80-206)."""
+    (reference transformers.py:80-206).
+
+    ``compute_dtype="bfloat16"`` runs the projections and attention
+    matmuls in bf16 on the MXU (params stay fp32, softmax and
+    accumulation stay fp32) — the TPU mixed-precision recipe."""
 
     embed_dim: int
     num_heads: int
@@ -61,6 +65,7 @@ class SelfAttention(nn.Module):
     causal: bool = True
     attn_dropout: float = 0.1
     output_dropout: float = 0.1
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -69,9 +74,11 @@ class SelfAttention(nn.Module):
         assert t <= self.context_length, (t, self.context_length)
         nh = self.num_heads
         dh = d // nh
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         qkv = nn.Dense(
-            3 * d, use_bias=False, kernel_init=GPT_KERNEL_INIT, name="qkv"
+            3 * d, use_bias=False, kernel_init=GPT_KERNEL_INIT, name="qkv",
+            dtype=cd,
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)
@@ -86,11 +93,14 @@ class SelfAttention(nn.Module):
             att = jnp.where(mask[None, None], att, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1)
         att = nn.Dropout(self.attn_dropout, deterministic=not train)(att)
+        if cd is not None:
+            att = att.astype(cd)  # fp32 softmax result -> bf16 for the MXU
         y = jnp.einsum("bhts,bhsd->bhtd", att, v, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(b, t, d)
         y = nn.Dense(
             d, kernel_init=GPT_KERNEL_INIT, bias_init=jax.nn.initializers.zeros,
-            name="output",
+            name="output", dtype=cd,
         )(y)
         y = nn.Dropout(self.output_dropout, deterministic=not train)(y)
         return y
@@ -106,9 +116,11 @@ class SelfAttentionBlock(nn.Module):
     attn_dropout: float = 0.1
     output_dropout: float = 0.1
     activation: str = "gelu"
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         attn = SelfAttention(
             self.embed_dim,
             self.num_heads,
@@ -116,21 +128,24 @@ class SelfAttentionBlock(nn.Module):
             causal=self.causal,
             attn_dropout=self.attn_dropout,
             output_dropout=self.output_dropout,
+            compute_dtype=self.compute_dtype,
             name="attention",
         )
+        # residual stream + LayerNorms stay fp32 for stability
         x = x + attn(nn.LayerNorm(name="ln1")(x), train=train)
 
         h = nn.LayerNorm(name="ln2")(x)
         mult = 2 if self.activation == "geglu" else 1
         h = nn.Dense(
             4 * self.embed_dim * mult, kernel_init=GPT_KERNEL_INIT,
-            bias_init=jax.nn.initializers.zeros, name="mlp_fc",
+            bias_init=jax.nn.initializers.zeros, name="mlp_fc", dtype=cd,
         )(h)
         h = GEGLU()(h) if self.activation == "geglu" else gelu_exact(h)
         h = nn.Dense(
             self.embed_dim, kernel_init=GPT_KERNEL_INIT,
-            bias_init=jax.nn.initializers.zeros, name="mlp_proj",
+            bias_init=jax.nn.initializers.zeros, name="mlp_proj", dtype=cd,
         )(h)
+        h = h.astype(x.dtype)
         h = nn.Dropout(self.output_dropout, deterministic=not train)(h)
         return x + h
 
@@ -148,6 +163,7 @@ class GPTBackbone(nn.Module):
     num_heads: int = 8
     activation: str = "gelu"
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+    compute_dtype: str | None = None  # "bfloat16" -> MXU mixed precision
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -165,6 +181,7 @@ class GPTBackbone(nn.Module):
                 attn_dropout=self.attn_dropout,
                 output_dropout=self.block_output_dropout,
                 activation=self.activation,
+                compute_dtype=self.compute_dtype,
                 name=f"block_{i}",
             )(x, train)
         return nn.LayerNorm(name="output_ln")(x)
