@@ -20,9 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # with JAX_PLATFORMS=axon already in the env, so the env-var route is
 # ineffective here; the config update below is applied before any backend
 # initialization and forces the virtual 8-device CPU platform.
+#
+# TPU hardware tier (VERDICT round-1 item 9): LIPVQ_TPU_TESTS=1 leaves the
+# real backend in place — run `LIPVQ_TPU_TESTS=1 pytest -m tpu tests/` on
+# a TPU machine to exercise the compiled on-device path (Mosaic layouts,
+# bf16 MXU numerics) that CPU-interpret tests cannot see.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+_TPU_TIER = os.environ.get("LIPVQ_TPU_TESTS", "0") == "1"
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-bound (tiny models,
 # many distinct jit programs), so caching XLA executables across runs cuts
