@@ -25,6 +25,17 @@ def create_env_from_metadata(env_meta: dict, render: bool = False,
         return SyntheticKitchenEnv(env_name=env_name, **env_kwargs)
 
     if env_type == EnvType.ROBOSUITE_TYPE:
+        # first-party MuJoCo kitchen tasks take priority; the robosuite
+        # adapter remains for external env_metas when it is installed
+        from lipvq_tpu.robocasa.sim import REGISTERED_KITCHEN_ENVS
+
+        if env_name in REGISTERED_KITCHEN_ENVS:
+            from lipvq_tpu.envs.env_kitchen import EnvKitchen
+
+            return EnvKitchen(
+                env_name, render=render, render_offscreen=render_offscreen,
+                **env_kwargs,
+            )
         from lipvq_tpu.envs.env_robosuite import EnvRobosuite
 
         return EnvRobosuite(

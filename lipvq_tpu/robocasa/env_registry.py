@@ -37,16 +37,10 @@ def register_kitchen_env(name: str, factory=None):
 
 def _make_task_factory(task_name: str):
     def factory(**kwargs):
-        try:
-            from lipvq_tpu.envs.env_robosuite import EnvRobosuite
+        # first-party MuJoCo kitchen sim (lipvq_tpu/robocasa/sim)
+        from lipvq_tpu.envs.env_kitchen import EnvKitchen
 
-            return EnvRobosuite(task_name, **kwargs)
-        except ImportError as e:
-            raise ImportError(
-                f"Kitchen task {task_name!r} needs robosuite + robocasa "
-                f"installed ({e}). The SyntheticKitchen env is available "
-                "for hermetic testing."
-            ) from e
+        return EnvKitchen(task_name, **kwargs)
 
     factory.__name__ = task_name
     return factory

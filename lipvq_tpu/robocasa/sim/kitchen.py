@@ -1,0 +1,547 @@
+"""Kitchen base environment (MuJoCo-direct).
+
+Counterpart of reference robocasa/environments/kitchen/kitchen.py:46-1633:
+- ``KitchenEnvMeta``-style registration (reference kitchen.py:46-59)
+  via ``register_kitchen_env`` / the ``Kitchen.__init_subclass__`` hook;
+- layout/style sampling per episode (reference kitchen.py:335-400);
+- procedural scene assembly (reference scene_builder.py) from the
+  layout templates in :mod:`layouts`;
+- object cfgs -> placement sampling (reference kitchen.py:485-878);
+- robot base placement in front of a reference fixture (reference
+  kitchen.py:604-683);
+- sparse reward = ``_check_success`` (reference kitchen.py:1378-1398);
+- ``get_ep_meta`` with layout/style/lang/object cfgs (reference
+  kitchen.py:926-956) and ``reset_to``-compatible state capture.
+
+The env steps MuJoCo directly (no robosuite): ``step`` integrates the
+position-servo targets from :class:`RobotController` and advances
+``n_substeps`` physics steps per control step (control_freq=20 Hz).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections import OrderedDict
+
+import numpy as np
+
+try:
+    import mujoco
+except Exception:  # pragma: no cover
+    mujoco = None
+
+from lipvq_tpu.robocasa.sim import layouts as L
+from lipvq_tpu.robocasa.sim.fixtures import (
+    CoffeeMachine,
+    Counter,
+    Drawer,
+    Fixture,
+    FixtureType,
+    HingeCabinet,
+    Microwave,
+    OpenCabinet,
+    SingleCabinet,
+    Sink,
+    Stove,
+    fixture_is_type,
+    rot_z,
+)
+from lipvq_tpu.robocasa.sim.objects import make_object, object_lang, sample_kitchen_object
+from lipvq_tpu.robocasa.sim.placement import RandomizationError, SequentialCompositeSampler
+from lipvq_tpu.robocasa.sim.robot import ACTION_DIM, RobotController, build_robot
+
+REGISTERED_KITCHEN_ENVS = {}
+
+
+def register_kitchen_env(cls):
+    """Reference kitchen.py:49-50."""
+    REGISTERED_KITCHEN_ENVS[cls.__name__] = cls
+    return cls
+
+
+class Kitchen:
+    """Base kitchen env (reference kitchen.py:73-1633).
+
+    Subclasses override ``_setup_kitchen_references``, ``_get_obj_cfgs``,
+    ``_reset_internal`` and ``_check_success`` exactly like the
+    reference task files.
+    """
+
+    EXCLUDE_LAYOUTS: list = []
+
+    def __init_subclass__(cls, **kwargs):
+        # KitchenEnvMeta equivalent (reference kitchen.py:53-59)
+        super().__init_subclass__(**kwargs)
+        register_kitchen_env(cls)
+
+    def __init__(
+        self,
+        layout_ids=-1,
+        style_ids=-1,
+        seed=None,
+        has_renderer=False,
+        has_offscreen_renderer=False,
+        render_camera="robot0agentview_center",
+        camera_names=("robot0agentview_center",),
+        camera_heights=128,
+        camera_widths=128,
+        use_camera_obs=False,
+        control_freq=20,
+        horizon=500,
+        obj_instance_split=None,
+        generative_textures=None,
+        randomize_cameras=False,
+        translucent_robot=False,
+        **kwargs,
+    ):
+        self.layout_ids = [
+            lid for lid in L.unpack_layout_ids(layout_ids)
+            if lid not in self.EXCLUDE_LAYOUTS
+        ]
+        self.style_ids = L.unpack_style_ids(style_ids)
+        self.rng = np.random.default_rng(seed)
+        self.control_freq = control_freq
+        self.horizon = horizon
+        self.use_camera_obs = use_camera_obs
+        self.camera_names = list(camera_names)
+        self.camera_heights = camera_heights
+        self.camera_widths = camera_widths
+        self._physics_dt = 0.002
+        self.n_substeps = max(1, int(round(1.0 / (control_freq * self._physics_dt))))
+        self._renderer = None
+
+        self.model = None
+        self.data = None
+        self.fixtures = OrderedDict()
+        self.objects = OrderedDict()
+        self.obj_body_id = {}
+        self.fixture_refs = {}
+        self._ep_meta = {}
+        self.timestep = 0
+        self.layout_id = None
+        self.style_id = None
+        self._object_cfgs = []
+        self._placements = {}
+        self._pending_ep_meta = {}
+        self._model_xml = None
+
+    # ================= mujoco access helpers ==========================
+    # These are the primitives the fixture state APIs consume
+    # (reference fixtures call env.sim.data/model directly).
+    def set_joint_qpos(self, joint_name, value):
+        j = self.model.joint(joint_name)
+        self.data.qpos[j.qposadr[0]] = value
+
+    def get_joint_qpos(self, joint_name):
+        j = self.model.joint(joint_name)
+        return float(self.data.qpos[j.qposadr[0]])
+
+    def geom_xpos(self, geom_name):
+        return np.array(self.data.geom(geom_name).xpos)
+
+    def site_xpos(self, site_name):
+        return np.array(self.data.site(site_name).xpos)
+
+    def set_site_alpha(self, site_name, alpha):
+        sid = self.model.site(site_name).id
+        self.model.site_rgba[sid][3] = alpha
+
+    def eef_pos(self):
+        return self.site_xpos("robot0_grip_site")
+
+    def object_pos(self, obj_name):
+        return np.array(self.data.body(self.obj_body_id[obj_name]).xpos)
+
+    def object_quat(self, obj_name):
+        return np.array(self.data.body(self.obj_body_id[obj_name]).xquat)
+
+    def check_contact(self, prefix_a, prefix_b):
+        """True if any contact pairs a geom named ``prefix_a*`` with one
+        named ``prefix_b*`` (reference robosuite check_contact)."""
+        for i in range(self.data.ncon):
+            c = self.data.contact[i]
+            n1 = mujoco.mj_id2name(self.model, mujoco.mjtObj.mjOBJ_GEOM, c.geom1) or ""
+            n2 = mujoco.mj_id2name(self.model, mujoco.mjtObj.mjOBJ_GEOM, c.geom2) or ""
+            if (n1.startswith(prefix_a) and n2.startswith(prefix_b)) or (
+                n2.startswith(prefix_a) and n1.startswith(prefix_b)
+            ):
+                return True
+        return False
+
+    def check_gripper_contact(self, geom_prefix):
+        """Gripper finger/palm touching the named geom (reference
+        microwave.py:96-115 button logic)."""
+        return self.check_contact("robot0_leftfinger_geom", geom_prefix) or \
+            self.check_contact("robot0_rightfinger_geom", geom_prefix) or \
+            self.check_contact("robot0_palm_geom", geom_prefix)
+
+    # ================= fixture lookup =================================
+    def get_fixture(self, id, ref=None, size=None):
+        """Reference kitchen.py:1481-1551."""
+        if isinstance(id, Fixture):
+            return id
+        if isinstance(id, str) and id in self.fixtures:
+            return self.fixtures[id]
+        matches = [f for f in self.fixtures.values() if fixture_is_type(f, id)]
+        if size is not None:
+            matches = [
+                f for f in matches
+                if f.width >= size[0] - 1e-9
+            ]
+        if not matches:
+            raise ValueError(f"no fixture matching id {id!r}")
+        if ref is None:
+            idx = int(self.rng.integers(len(matches)))
+            return matches[idx]
+        refc = self.get_fixture(ref).center
+        dists = [np.linalg.norm(f.center - refc) for f in matches]
+        return matches[int(np.argmin(dists))]
+
+    def register_fixture_ref(self, ref_name, fn_kwargs):
+        """Reference kitchen.py:1552-1568 — sticky across resets via
+        ep_meta (fixture names are deterministic per layout)."""
+        if ref_name in self.fixture_refs:
+            return self.fixture_refs[ref_name]
+        saved = self._ep_meta.get("fixture_refs", {})
+        if ref_name in saved and saved[ref_name] in self.fixtures:
+            fx = self.fixtures[saved[ref_name]]
+        else:
+            fx = self.get_fixture(**fn_kwargs)
+        self.fixture_refs[ref_name] = fx
+        return fx
+
+    # ================= scene assembly =================================
+    def _choose_scene(self):
+        saved = self._ep_meta
+        if "layout_id" in saved:
+            self.layout_id = int(saved["layout_id"])
+            self.style_id = int(saved["style_id"])
+        else:
+            self.layout_id = int(self.rng.choice(self.layout_ids))
+            self.style_id = int(self.rng.choice(self.style_ids))
+        self.style = L.STYLES[self.style_id]
+
+    def _build_scene(self):
+        self._choose_scene()
+        fixture_list = L.build_layout(self.layout_id)
+        self.fixtures = OrderedDict((f.name, f) for f in fixture_list)
+
+        spec = mujoco.MjSpec()
+        spec.option.timestep = self._physics_dt
+        spec.option.integrator = mujoco.mjtIntegrator.mjINT_IMPLICITFAST
+        try:
+            spec.option.noslip_iterations = 2
+        except AttributeError:
+            pass
+        # ground plane (objects must never fall through)
+        g = spec.worldbody.add_geom(
+            name="ground", type=mujoco.mjtGeom.mjGEOM_PLANE,
+            size=[20, 20, 0.1], rgba=list(self.style["floor"]),
+        )
+        g.contype, g.conaffinity = 1, 3  # static, but catches dynamics
+        spec.worldbody.add_light(pos=[2.0, -2.0, 3.5], dir=[-0.2, 0.3, -1.0])
+
+        for fx in self.fixtures.values():
+            fx.build(spec, self.style)
+
+        build_robot(spec)
+        self._add_cameras(spec)
+        return spec
+
+    def _add_cameras(self, spec):
+        """Agentview camera looking at the scene center (reference
+        camera_utils / kitchen.py:973-1018)."""
+        spec.worldbody.add_camera(
+            name="robot0agentview_center",
+            pos=[2.5, -3.2, 1.9],
+            xyaxes=[1, 0, 0, 0, 0.45, 0.9],
+        )
+
+    def _create_objects(self, spec):
+        """Sample + place task objects (reference kitchen.py:485-589)."""
+        self.objects = OrderedDict()
+        self._object_cfgs = self._get_obj_cfgs()
+        sampler = SequentialCompositeSampler(self.rng)
+        saved_placements = self._ep_meta.get("object_placements")
+        self._placements = {}
+        for i, cfg in enumerate(self._object_cfgs):
+            name = cfg["name"]
+            saved_obj = (self._ep_meta.get("object_cats") or {}).get(name)
+            if saved_obj is not None:
+                obj = make_object(saved_obj, name=name)
+            else:
+                obj = sample_kitchen_object(
+                    self.rng,
+                    obj_groups=cfg.get("obj_groups", "all"),
+                    exclude_obj_groups=cfg.get("exclude_obj_groups"),
+                    graspable=cfg.get("graspable"),
+                    washable=cfg.get("washable"),
+                    microwavable=cfg.get("microwavable"),
+                    heatable=cfg.get("heatable"),
+                    freezable=cfg.get("freezable"),
+                    max_size=cfg.get("max_size", (None, None, None)),
+                )
+                obj.name = name
+            placement = dict(cfg.get("placement", {}))
+            fixture = placement.pop("fixture", None)
+            if fixture is None:
+                fixture = self.get_fixture(FixtureType.COUNTER)
+            elif not isinstance(fixture, Fixture):
+                fixture = self.get_fixture(fixture)
+            placement.pop("try_to_place_in", None)
+            if saved_placements is not None and name in saved_placements:
+                world, yaw = saved_placements[name]
+                world = np.asarray(world)
+            else:
+                try:
+                    world, yaw = sampler.place(fixture, obj, placement)
+                except RandomizationError:
+                    # fall back: drop at region center
+                    c, _ = fixture.sample_region(
+                        **(placement.get("sample_region_kwargs") or {})
+                    )
+                    world, yaw = fixture.to_world(c + [0, 0, 0.002]), 0.0
+            self._placements[name] = (np.asarray(world).tolist(), float(yaw))
+            obj.build(spec, pos=world, yaw=yaw)
+            self.objects[name] = obj
+
+    def _get_obj_cfgs(self):
+        """Reference kitchen.py:914-925."""
+        return []
+
+    # ================= robot placement ================================
+    def compute_robot_base_placement_pose(self, ref_fixture, offset=None):
+        """Pose in front of a fixture, facing it (reference
+        kitchen.py:604-683)."""
+        ref_fixture = self.get_fixture(ref_fixture)
+        face_dist = ref_fixture.depth / 2 + 0.40
+        local = np.array([0.0, -face_dist, 0.0])
+        if offset is not None:
+            local = local + np.array([offset[0], -offset[1], 0.0])
+        pos = ref_fixture.to_world(local)
+        pos[2] = 0.0
+        # robot faces local -y at yaw=0; to face the fixture the robot
+        # yaw equals the fixture yaw
+        ori = np.array([0.0, 0.0, ref_fixture.yaw])
+        return pos, ori
+
+    # ================= reset / step ===================================
+    def reset(self, seed=None):
+        if seed is not None:
+            self.rng = np.random.default_rng(seed)
+        self.fixture_refs = {}
+        # a reset_to() seeds _pending_ep_meta for one reset; a plain
+        # reset resamples everything (reference kitchen.py:879-913)
+        self._ep_meta = getattr(self, "_pending_ep_meta", {}) or {}
+        self._pending_ep_meta = {}
+        spec = self._build_scene()
+        self._setup_kitchen_references()
+        self._create_objects(spec)
+        self.model = spec.compile()
+        self._model_xml = spec.to_xml()
+        self.data = mujoco.MjData(self.model)
+        self.obj_body_id = {
+            name: self.model.body(name).id for name in self.objects
+        }
+        # robot initial pose
+        init_fixture = getattr(self, "init_robot_base_pos", None)
+        self.controller = RobotController(self.model, self.data)
+        if init_fixture is not None:
+            pos, ori = self.compute_robot_base_placement_pose(init_fixture)
+            self.controller.set_base_pose(pos[:2], ori[2])
+        self._reset_internal()
+        mujoco.mj_forward(self.model, self.data)
+        # let free objects settle onto their supports
+        for _ in range(40):
+            mujoco.mj_step(self.model, self.data)
+        self.controller.reset_targets()
+        for fx in self.fixtures.values():
+            fx.update_state(self)
+        self.timestep = 0
+        self._ep_lang_str = self.get_ep_meta().get("lang", "")
+        return self.get_observation()
+
+    def _setup_kitchen_references(self):
+        """Reference kitchen.py:590-599."""
+
+    def _reset_internal(self):
+        """Reference kitchen.py:879-913 (task state like door poses)."""
+
+    def step(self, action):
+        self.controller.apply(action)
+        for _ in range(self.n_substeps):
+            mujoco.mj_step(self.model, self.data)
+        for fx in self.fixtures.values():
+            fx.update_state(self)
+        self.timestep += 1
+        reward = self.reward(action)
+        done = self.timestep >= self.horizon
+        obs = self.get_observation()
+        info = {"is_success": self.is_success()}
+        return obs, reward, done, info
+
+    def reward(self, action=None):
+        """Sparse success reward (reference kitchen.py:1378-1388)."""
+        return float(self._check_success())
+
+    def _check_success(self):
+        """Reference kitchen.py:1389-1398."""
+        return False
+
+    def is_success(self):
+        return {"task": bool(self._check_success())}
+
+    # ================= observations ===================================
+    def get_observation(self):
+        """Low-dim proprio + object obs (reference kitchen.py:1182-1302
+        observable sensors)."""
+        obs = {}
+        base = self.data.body("robot0_base")
+        obs["robot0_base_pos"] = np.array(base.xpos, dtype=np.float32)
+        obs["robot0_base_quat"] = np.array(base.xquat, dtype=np.float32)
+        eef = self.eef_pos()
+        obs["robot0_eef_pos"] = eef.astype(np.float32)
+        palm = self.data.body("robot0_palm")
+        obs["robot0_eef_quat"] = np.array(palm.xquat, dtype=np.float32)
+        lf = self.get_joint_qpos("robot0_leftfinger_joint")
+        rf = self.get_joint_qpos("robot0_rightfinger_joint")
+        obs["robot0_gripper_qpos"] = np.array([lf, rf], dtype=np.float32)
+        obs["robot0_base_to_eef_pos"] = (eef - base.xpos).astype(np.float32)
+        # object sensors (reference kitchen.py:1232-1302)
+        obj_states = []
+        for name in self.objects:
+            pos = self.object_pos(name)
+            quat = self.object_quat(name)
+            obs[f"{name}_pos"] = pos.astype(np.float32)
+            obs[f"{name}_quat"] = quat.astype(np.float32)
+            obs[f"{name}_to_robot0_eef_pos"] = (pos - eef).astype(np.float32)
+            obj_states.extend([pos, quat, pos - eef])
+        if obj_states:
+            obs["object"] = np.concatenate(obj_states).astype(np.float32)
+        else:
+            obs["object"] = np.zeros(0, dtype=np.float32)
+        if self.use_camera_obs:
+            for cam in self.camera_names:
+                obs[f"{cam}_image"] = self.render_camera(cam)
+        return obs
+
+    def render_camera(self, camera_name, height=None, width=None):
+        h = height or self.camera_heights
+        w = width or self.camera_widths
+        if self._renderer is None or getattr(self, "_renderer_hw", None) != (h, w):
+            self._renderer = mujoco.Renderer(self.model, height=h, width=w)
+            self._renderer_hw = (h, w)
+        self._renderer.update_scene(self.data, camera=camera_name)
+        return self._renderer.render()
+
+    def render(self, mode="rgb_array", height=None, width=None, camera_name=None):
+        return self.render_camera(
+            camera_name or self.camera_names[0], height, width
+        )
+
+    # ================= episode metadata / state ======================
+    def get_ep_meta(self):
+        """Reference kitchen.py:926-956."""
+        ep_meta = dict(self._ep_meta)
+        ep_meta["layout_id"] = self.layout_id
+        ep_meta["style_id"] = self.style_id
+        ep_meta["object_cats"] = {n: o.category for n, o in self.objects.items()}
+        ep_meta["object_placements"] = dict(self._placements)
+        ep_meta["fixture_refs"] = {
+            k: v.name for k, v in self.fixture_refs.items()
+        }
+        ep_meta.setdefault("lang", "")
+        return ep_meta
+
+    def get_obj_lang(self, obj_name="obj", get_preposition=False):
+        """Reference kitchen.py:1569-1599."""
+        lang = object_lang(self.objects[obj_name])
+        if not get_preposition:
+            return lang
+        return lang, "in"
+
+    def get_state(self):
+        """Flat sim state for reset_to (reference EnvRobosuite
+        get_state: xml + qpos/qvel)."""
+        return {
+            "states": np.concatenate([self.data.qpos, self.data.qvel]),
+            "ep_meta": json.dumps(self.get_ep_meta()),
+            "model": self._model_xml,
+        }
+
+    def reset_to(self, state):
+        """Restore a captured state: ep_meta re-seeds the procedural
+        build (layout/style/objects/placements), the saved model xml
+        guarantees an identical compiled model, and qpos/qvel restore
+        the dynamics (reference env_robosuite.py:156-217)."""
+        ep_meta = state.get("ep_meta")
+        if ep_meta:
+            self._pending_ep_meta = (
+                json.loads(ep_meta) if isinstance(ep_meta, str) else dict(ep_meta)
+            )
+        obs = self.reset()
+        xml = state.get("model")
+        if xml and xml != self._model_xml:
+            # exact-model restore path: bypass the procedural rebuild
+            self.model = mujoco.MjModel.from_xml_string(xml)
+            self._model_xml = xml
+            self.data = mujoco.MjData(self.model)
+            self.obj_body_id = {
+                name: self.model.body(name).id for name in self.objects
+            }
+            self.controller = RobotController(self.model, self.data)
+            self._renderer = None
+        flat = state.get("states")
+        if flat is not None:
+            nq = self.model.nq
+            self.data.qpos[:] = flat[:nq]
+            self.data.qvel[:] = flat[nq : nq + self.model.nv]
+            mujoco.mj_forward(self.model, self.data)
+            self.controller.reset_targets()
+            obs = self.get_observation()
+        return obs
+
+    def close(self):
+        if self._renderer is not None:
+            self._renderer.close()
+            self._renderer = None
+
+
+# -------- object-utils helpers (reference robocasa/utils/object_utils.py)
+def obj_inside_of(env, obj_name, fixture, partial_check=False):
+    """Reference object_utils.py:12-60 — interior-box containment."""
+    fixture = env.get_fixture(fixture)
+    pos = env.object_pos(obj_name)
+    return fixture.point_inside(pos, margin=0.02)
+
+
+def check_obj_in_receptacle(env, obj_name, receptacle_name, th=None):
+    """Reference object_utils.py:323-337."""
+    obj = env.objects[obj_name]
+    recep = env.objects[receptacle_name]
+    opos = env.object_pos(obj_name)
+    rpos = env.object_pos(receptacle_name)
+    if th is None:
+        th = recep.horizontal_radius * 0.7
+    in_contact = env.check_contact(f"{obj.name}_", f"{recep.name}_")
+    return bool(in_contact and np.linalg.norm(opos[:2] - rpos[:2]) < th)
+
+
+def check_obj_fixture_contact(env, obj_name, fixture):
+    """Reference object_utils.py:340-346."""
+    fixture = env.get_fixture(fixture)
+    return env.check_contact(f"{obj_name}_", fixture.name)
+
+
+def gripper_obj_far(env, obj_name="obj", th=0.25):
+    """Reference object_utils.py:349-356."""
+    opos = env.object_pos(obj_name)
+    return bool(np.linalg.norm(env.eef_pos() - opos) > th)
+
+
+def fixture_pairwise_dist(f1, f2):
+    """Reference object_utils.py:232-240."""
+    p1s = f1.get_ext_sites(all_points=True)
+    p2s = f2.get_ext_sites(all_points=True)
+    return float(min(np.linalg.norm(p1 - p2) for p1 in p1s for p2 in p2s))

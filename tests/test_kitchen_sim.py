@@ -1,0 +1,172 @@
+"""MuJoCo-direct kitchen simulation layer tests.
+
+Mirrors the reference's robocasa test suite:
+- tests/test_tasks_validity.py:14-50 — every registered kitchen env
+  creates + steps without raising;
+- tests/test_env_determinism.py:16-80 — same seed twice => identical
+  layout/style and object/fixture poses (atol 1e-7);
+plus reset_to round-trips, fixture state APIs, and EnvBase adapter
+integration (dataset extraction contract).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from lipvq_tpu.robocasa.dataset_registry import ALL_TASK_DATASETS  # noqa: E402
+from lipvq_tpu.robocasa.sim import REGISTERED_KITCHEN_ENVS  # noqa: E402
+from lipvq_tpu.robocasa.sim.layouts import LAYOUT_GROUPS_TO_IDS, STYLES  # noqa: E402
+
+
+def test_all_dataset_tasks_registered():
+    missing = [t for t in ALL_TASK_DATASETS if t not in REGISTERED_KITCHEN_ENVS]
+    assert missing == []
+
+
+@pytest.mark.parametrize("task", sorted(ALL_TASK_DATASETS))
+def test_task_validity(task):
+    """Reference tests/test_tasks_validity.py:14-50 (shortened)."""
+    env = REGISTERED_KITCHEN_ENVS[task](seed=11)
+    obs = env.reset()
+    assert "robot0_eef_pos" in obs
+    assert env.get_ep_meta()["lang"]
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        obs, reward, done, info = env.step(rng.uniform(-1, 1, 12))
+        assert "task" in info["is_success"]
+        assert np.isfinite(obs["robot0_eef_pos"]).all()
+    env.close()
+
+
+def test_env_determinism():
+    """Reference tests/test_env_determinism.py:16-80."""
+
+    def capture(seed):
+        env = REGISTERED_KITCHEN_ENVS["ArrangeVegetables"](seed=seed)
+        env.reset()
+        state = env.get_state()
+        meta = env.get_ep_meta()
+        env.close()
+        return state, meta
+
+    (s1, m1), (s2, m2) = capture(42), capture(42)
+    assert m1["layout_id"] == m2["layout_id"]
+    assert m1["style_id"] == m2["style_id"]
+    assert m1["object_cats"] == m2["object_cats"]
+    np.testing.assert_allclose(s1["states"], s2["states"], atol=1e-7)
+    assert s1["model"] == s2["model"]
+
+
+def test_layouts_all_compile():
+    for lid in LAYOUT_GROUPS_TO_IDS[-1]:
+        env = REGISTERED_KITCHEN_ENVS["OpenDrawer"](layout_ids=lid, seed=3)
+        env.reset()
+        assert env.layout_id == lid
+        env.close()
+    assert len(STYLES) == 12
+
+
+def test_reset_to_roundtrip():
+    env = REGISTERED_KITCHEN_ENVS["PreSoakPan"](seed=5)
+    env.reset()
+    rng = np.random.default_rng(1)
+    for _ in range(8):
+        env.step(rng.uniform(-1, 1, 12))
+    state = env.get_state()
+    lang = env.get_ep_meta()["lang"]
+    env2 = REGISTERED_KITCHEN_ENVS["PreSoakPan"](seed=777)
+    env2.reset_to(state)
+    np.testing.assert_allclose(state["states"], env2.get_state()["states"], atol=1e-9)
+    assert env2.get_ep_meta()["lang"] == lang
+    env.close()
+    env2.close()
+
+
+def test_fixture_state_apis():
+    """Door/knob/handle set+get round-trips (reference cabinets.py:
+    208-217, stove.py:109-160, sink.py:43-110)."""
+    env = REGISTERED_KITCHEN_ENVS["TurnOnStove"](seed=2)
+    env.reset()
+    stove = env.fixtures[env.stove.name]
+    knob = env.knob
+    stove.set_knob_state(env=env, rng=env.rng, knob=knob, mode="on")
+    q = stove.get_knobs_state(env)[knob]
+    assert 0.35 <= abs(q) <= 2 * np.pi - 0.35
+    assert env._check_success()
+    stove.set_knob_state(env=env, rng=env.rng, knob=knob, mode="off")
+    assert not env._check_success()
+
+    sink = env.get_fixture(1)  # FixtureType.SINK
+    sink.set_handle_state(env=env, rng=env.rng, mode="on")
+    assert sink.get_handle_state(env)["water_on"]
+    sink.set_handle_state(env=env, rng=env.rng, mode="off")
+    assert not sink.get_handle_state(env)["water_on"]
+    env.close()
+
+
+def test_door_success_via_joint():
+    """Scripted door opening flips _check_success (reference
+    kitchen_doors.py:69-88)."""
+    env = REGISTERED_KITCHEN_ENVS["OpenSingleDoor"](seed=4)
+    env.reset()
+    assert not env._check_success()
+    env.door_fxtr.set_door_state(min=0.95, max=1.0, env=env, rng=env.rng)
+    mujoco.mj_forward(env.model, env.data)
+    assert env._check_success()
+    env.close()
+
+
+def test_drawer_success_via_joint():
+    env = REGISTERED_KITCHEN_ENVS["OpenDrawer"](seed=4)
+    env.reset()
+    assert not env._check_success()
+    env.drawer.set_door_state(min=1.0, max=1.0, env=env, rng=env.rng)
+    assert env._check_success()
+    env.close()
+
+
+def test_env_kitchen_adapter_and_factory():
+    """EnvBase adapter + env_meta round-trip (reference
+    env_robosuite.py:22-259 + file_utils env_meta contract)."""
+    from lipvq_tpu.envs.env_factory import create_env_from_metadata
+    from lipvq_tpu.envs.env_kitchen import EnvKitchen
+
+    env = EnvKitchen("CloseDrawer", seed=9)
+    obs = env.reset()
+    assert env.ep_lang_str.startswith("close the")
+    assert env.action_dimension == 12
+    meta = env.serialize()
+    assert meta["env_name"] == "CloseDrawer"
+    # factory reconstructs from serialized env_meta (json round-trip)
+    meta = json.loads(json.dumps(meta))
+    env2 = create_env_from_metadata(meta)
+    obs2 = env2.reset()
+    assert set(obs) == set(obs2)
+    state = env.get_state()
+    obs3 = env2.reset_to(state)
+    np.testing.assert_allclose(
+        env2.get_state()["states"], state["states"], atol=1e-9
+    )
+    del obs3
+    env.close()
+    env2.close()
+
+
+def test_placement_no_overlap():
+    """Placed objects keep horizontal separation (reference
+    placement_samplers.py:270-414)."""
+    env = REGISTERED_KITCHEN_ENVS["RestockPantry"](seed=21)
+    env.reset()
+    names = list(env.objects)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pa, pb = env.object_pos(a), env.object_pos(b)
+            ra = env.objects[a].horizontal_radius
+            rb = env.objects[b].horizontal_radius
+            if abs(pa[2] - pb[2]) > 0.10:
+                continue  # different shelves/fixtures
+            assert np.linalg.norm(pa[:2] - pb[:2]) > 0.5 * (ra + rb), (a, b)
+    env.close()
