@@ -292,7 +292,11 @@ def _add_handle(body, name, kind, pos, rgba, vertical=True):
             rgba=list(rgba),
         )
     else:
-        size = [0.008, 0.008, 0.06] if vertical else [0.06, 0.008, 0.008]
+        # bars are thicker than the gripper's minimum finger gap so a
+        # full-force close clamps the bar instead of squeezing past it
+        # vertical bars are short (6cm) so a top-grasping palm clears
+        # the bar top while the fingers still span it
+        size = [0.012, 0.012, 0.03] if vertical else [0.065, 0.012, 0.012]
         g = body.add_geom(
             name=name,
             type=mujoco.mjtGeom.mjGEOM_BOX,
@@ -326,9 +330,13 @@ class SingleCabinet(_DooredBox):
         self._shell(body, style)
         w, d, h = self.size
         hx = (w / 2 - 0.005) * (1 if self.orientation == "right" else -1)
-        door = body.add_body(name=f"{self.name}_door", pos=[hx, -d / 2, 0])
+        # hinge on the panel FRONT plane: swinging never drives the
+        # panel edge into the carcass (a hinge inside the wall jams)
+        door = body.add_body(
+            name=f"{self.name}_door", pos=[hx, -d / 2 - THICK - 0.007, 0]
+        )
         # positive rotation swings the panel outward for either hinge side
-        axis = [0, 0, -1] if self.orientation == "right" else [0, 0, 1]
+        axis = [0, 0, 1] if self.orientation == "right" else [0, 0, -1]
         j = door.add_joint(
             name=f"{self.name}_doorjoint",
             type=mujoco.mjtJoint.mjJNT_HINGE,
@@ -341,7 +349,7 @@ class SingleCabinet(_DooredBox):
             door,
             f"{self.name}_doorpanel",
             [w / 2 - 0.004, THICK / 2, h / 2 - 0.004],
-            [panel_cx, -THICK / 2, h / 2],
+            [panel_cx, THICK / 2, h / 2],
             style["door"],
             dynamic=True,
         )
@@ -349,7 +357,7 @@ class SingleCabinet(_DooredBox):
             door,
             f"{self.name}_handle",
             style["handle_type"],
-            [panel_cx * 1.8, -0.045, h / 2],
+            [panel_cx * 1.8, -0.075, h / 2],
             style["handle"],
         )
         return body
@@ -387,12 +395,13 @@ class HingeCabinet(_DooredBox):
         w, d, h = self.size
         for side, sign in (("left", -1), ("right", 1)):
             door = body.add_body(
-                name=f"{self.name}_{side}door", pos=[sign * (w / 2 - 0.005), -d / 2, 0]
+                name=f"{self.name}_{side}door",
+                pos=[sign * (w / 2 - 0.005), -d / 2 - THICK - 0.007, 0],
             )
             j = door.add_joint(
                 name=f"{self.name}_{side}doorjoint",
                 type=mujoco.mjtJoint.mjJNT_HINGE,
-                axis=[0, 0, -sign],
+                axis=[0, 0, sign],
                 range=list(DOOR_RANGE),
                 damping=2.0,
             )
@@ -401,7 +410,7 @@ class HingeCabinet(_DooredBox):
                 door,
                 f"{self.name}_{side}doorpanel",
                 [w / 4 - 0.006, THICK / 2, h / 2 - 0.004],
-                [panel_cx, -THICK / 2, h / 2],
+                [panel_cx, THICK / 2, h / 2],
                 style["door"],
                 dynamic=True,
             )
@@ -409,7 +418,7 @@ class HingeCabinet(_DooredBox):
                 door,
                 f"{self.name}_{side}handle",
                 style["handle_type"],
-                [panel_cx * 1.7, -0.045, h / 2],
+                [panel_cx * 1.7, -0.075, h / 2],
                 style["handle"],
             )
         return body
@@ -501,23 +510,39 @@ class Drawer(Fixture):
             type=mujoco.mjtJoint.mjJNT_SLIDE,
             axis=[0, -1, 0],
             range=[0.0, self.travel],
-            damping=8.0,
+            damping=3.0,
         )
         bw, bd = w / 2 - 2 * t, d / 2 - 1.5 * t
         ih = bh - 2.5 * t  # inner wall height
-        self._box(box, f"{self.name}_boxbot", [bw, bd, t / 2], [0, 0, t / 2], style["door"], dynamic=True)
-        self._box(box, f"{self.name}_boxfront", [bw, t / 2, ih / 2], [0, -bd, t + ih / 2], style["door"], dynamic=True)
-        self._box(box, f"{self.name}_boxback", [bw, t / 2, ih / 2], [0, bd, t + ih / 2], style["door"], dynamic=True)
-        self._box(box, f"{self.name}_boxleft", [t / 2, bd, ih / 2], [-bw, 0, t + ih / 2], style["door"], dynamic=True)
-        self._box(box, f"{self.name}_boxright", [t / 2, bd, ih / 2], [bw, 0, t + ih / 2], style["door"], dynamic=True)
+        # drawers ride on rollers: low-friction glides + light panels,
+        # else dragging the slide needs ~60N and no gripper can pull it
+        panels = [
+            self._box(box, f"{self.name}_boxbot", [bw, bd, t / 2], [0, 0, t / 2], style["door"], dynamic=True),
+            self._box(box, f"{self.name}_boxfront", [bw, t / 2, ih / 2], [0, -bd, t + ih / 2], style["door"], dynamic=True),
+            self._box(box, f"{self.name}_boxback", [bw, t / 2, ih / 2], [0, bd, t + ih / 2], style["door"], dynamic=True),
+            self._box(box, f"{self.name}_boxleft", [t / 2, bd, ih / 2], [-bw, 0, t + ih / 2], style["door"], dynamic=True),
+            self._box(box, f"{self.name}_boxright", [t / 2, bd, ih / 2], [bw, 0, t + ih / 2], style["door"], dynamic=True),
+        ]
+        for g in panels:
+            g.density = 120.0
+            g.friction = [0.03, 0.002, 0.0001]
+        # deep D-handle: 0.10 standoff puts the whole grasp volume in
+        # free air (a straddling gripper's inner finger needs ~5cm of
+        # clearance behind the bar), and low on the front so the palm
+        # clears the countertop slab
         _add_handle(
             box,
             f"{self.name}_handle",
             style["handle_type"],
-            [0, -bd - 0.045, t + ih / 2],
+            [0, -bd - 0.10, t + ih / 5],
             style["handle"],
             vertical=False,
         )
+        # handle struts connecting the bar to the drawer front
+        for sx in (-0.05, 0.05):
+            self._box(box, f"{self.name}_handlestrut{int(sx*100)}",
+                      [0.006, 0.05, 0.006], [sx, -bd - 0.05, t + ih / 5],
+                      style["handle"], dynamic=True)
         return body
 
     def set_door_state(self, min, max, env, rng):
@@ -585,11 +610,13 @@ class Microwave(_DooredBox):
                 [0.8, 0.2, 0.2, 1] if bname == "stop_button" else [0.2, 0.8, 0.2, 1],
             )
         # door hinged on the left edge, covering the opening left of the panel
-        door = body.add_body(name=f"{self.name}_door", pos=[-w / 2, -d / 2, 0])
+        door = body.add_body(
+            name=f"{self.name}_door", pos=[-w / 2, -d / 2 - THICK - 0.007, 0]
+        )
         j = door.add_joint(
             name=f"{self.name}_microjoint",
             type=mujoco.mjtJoint.mjJNT_HINGE,
-            axis=[0, 0, 1],
+            axis=[0, 0, -1],
             range=list(MICRO_DOOR_RANGE),
             damping=2.0,
         )
@@ -598,7 +625,7 @@ class Microwave(_DooredBox):
             door,
             f"{self.name}_doorpanel",
             [dw - 0.004, THICK / 2, h / 2 - 0.004],
-            [dw, -THICK / 2, h / 2],
+            [dw, THICK / 2, h / 2],
             [0.25, 0.25, 0.28, 1],
             dynamic=True,
         )
@@ -706,7 +733,7 @@ class Sink(Fixture):
             0.10,
             [0, -0.10, 0.24],
             col,
-            euler=[90, 0, 0],
+            euler=[math.pi / 2, 0, 0],
             dynamic=True,
         )
         spout.add_site(
@@ -715,8 +742,9 @@ class Sink(Fixture):
             size=[0.012, 0.012, 0.012],
             rgba=[0.4, 0.6, 1.0, 0.0],
         )
-        # handle lever beside the spout, rotates about z
-        handle = body.add_body(name=f"{self.name}_handle", pos=[0.12, bdep + 0.03, h + 0.02])
+        # handle lever beside the spout, rotates about z; raised well
+        # above the basin rim so a gripper can straddle the lever bar
+        handle = body.add_body(name=f"{self.name}_handle", pos=[0.12, bdep + 0.03, h + 0.08])
         hj = handle.add_joint(
             name=f"{self.name}_handle_joint",
             type=mujoco.mjtJoint.mjJNT_HINGE,
@@ -724,7 +752,7 @@ class Sink(Fixture):
             range=[-math.pi, math.pi],
             damping=0.4,
         )
-        self._box(handle, f"{self.name}_handlebar", [0.008, 0.05, 0.008], [0, -0.04, 0], style["handle"], dynamic=True)
+        self._box(handle, f"{self.name}_handlebar", [0.008, 0.09, 0.008], [0, -0.09, 0], style["handle"], dynamic=True)
         return body
 
     def set_handle_state(self, env, rng, mode="on"):
@@ -823,7 +851,7 @@ class Stove(Fixture):
                 range=[-2 * math.pi, 2 * math.pi],
                 damping=0.3,
             )
-            self._cyl(knob, f"{self.name}_knobcyl_{loc}", 0.022, 0.015, [0, -0.015, 0], style["handle"], euler=[90, 0, 0], dynamic=True)
+            self._cyl(knob, f"{self.name}_knobcyl_{loc}", 0.022, 0.015, [0, -0.015, 0], style["handle"], euler=[math.pi / 2, 0, 0], dynamic=True)
         return body
 
     def set_knob_state(self, env, rng, knob, mode="on"):
@@ -946,11 +974,13 @@ class Fridge(_DooredBox):
         body = self._root(spec)
         self._shell(body, {**style, "cabinet": style["appliance"]})
         w, d, h = self.size
-        door = body.add_body(name=f"{self.name}_door", pos=[w / 2 - 0.005, -d / 2, 0])
+        door = body.add_body(
+            name=f"{self.name}_door", pos=[w / 2 - 0.005, -d / 2 - THICK - 0.007, 0]
+        )
         j = door.add_joint(
             name=f"{self.name}_doorjoint",
             type=mujoco.mjtJoint.mjJNT_HINGE,
-            axis=[0, 0, -1],
+            axis=[0, 0, 1],
             range=list(DOOR_RANGE),
             damping=4.0,
         )
@@ -958,7 +988,7 @@ class Fridge(_DooredBox):
             door,
             f"{self.name}_doorpanel",
             [w / 2 - 0.006, THICK / 2, h / 2 - 0.004],
-            [-(w / 2 - 0.006), -THICK / 2, h / 2],
+            [-(w / 2 - 0.006), THICK / 2, h / 2],
             style["appliance"],
             dynamic=True,
         )

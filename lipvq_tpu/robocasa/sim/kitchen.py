@@ -123,6 +123,7 @@ class Kitchen:
         self.style_id = None
         self._object_cfgs = []
         self._placements = {}
+        self._obj_fixture = {}
         self._pending_ep_meta = {}
         self._model_xml = None
 
@@ -228,6 +229,10 @@ class Kitchen:
         self.fixtures = OrderedDict((f.name, f) for f in fixture_list)
 
         spec = mujoco.MjSpec()
+        # all angles/ranges in this package are radians; MjSpec
+        # defaults to degrees (this silently turns joint ranges into
+        # hard limits a few degrees wide)
+        spec.compiler.degree = False
         spec.option.timestep = self._physics_dt
         spec.option.integrator = mujoco.mjtIntegrator.mjINT_IMPLICITFAST
         try:
@@ -265,6 +270,7 @@ class Kitchen:
         sampler = SequentialCompositeSampler(self.rng)
         saved_placements = self._ep_meta.get("object_placements")
         self._placements = {}
+        self._obj_fixture = {}
         for i, cfg in enumerate(self._object_cfgs):
             name = cfg["name"]
             saved_obj = (self._ep_meta.get("object_cats") or {}).get(name)
@@ -305,6 +311,7 @@ class Kitchen:
             self._placements[name] = (np.asarray(world).tolist(), float(yaw))
             obj.build(spec, pos=world, yaw=yaw)
             self.objects[name] = obj
+            self._obj_fixture[name] = fixture
 
     def _get_obj_cfgs(self):
         """Reference kitchen.py:914-925."""
@@ -321,10 +328,40 @@ class Kitchen:
             local = local + np.array([offset[0], -offset[1], 0.0])
         pos = ref_fixture.to_world(local)
         pos[2] = 0.0
-        # robot faces local -y at yaw=0; to face the fixture the robot
-        # yaw equals the fixture yaw
-        ori = np.array([0.0, 0.0, ref_fixture.yaw])
+        # the robot's reach direction is its local -y (robot.py
+        # ARM_RANGE); facing the fixture therefore means
+        # yaw = fixture.yaw + pi (fixture fronts point along local -y)
+        ori = np.array([0.0, 0.0, ref_fixture.yaw + math.pi])
+        # nudge outward/sideways until the base footprint clears all
+        # floor-level fixtures (reference kitchen_drawer.py:27-75
+        # check_fxtr_contact / check_sidewall_contact)
+        if self._base_pose_collides(pos, ref_fixture):
+            for extra in np.arange(0.1, 0.9, 0.1):
+                for lateral in (0.0, -0.3, 0.3, -0.6, 0.6):
+                    cand = ref_fixture.to_world(
+                        local + np.array([lateral, -extra, 0.0])
+                    )
+                    cand[2] = 0.0
+                    if not self._base_pose_collides(cand, ref_fixture):
+                        return cand, ori
         return pos, ori
+
+    _BASE_RADIUS = 0.30
+
+    def _base_pose_collides(self, pos, ref_fixture=None):
+        """Base circle vs floor-level fixture footprints (2D)."""
+        for fx in self.fixtures.values():
+            if fx.pos[2] > 0.5:  # wall cabinets etc. clear the base
+                continue
+            if type(fx).__name__ in ("Floor", "Hood", "CoffeeMachine"):
+                continue
+            p = fx.to_local(np.array([pos[0], pos[1], 0.0]))
+            half = fx.size / 2.0
+            dx = max(abs(p[0]) - half[0], 0.0)
+            dy = max(abs(p[1]) - half[1], 0.0)
+            if math.hypot(dx, dy) < self._BASE_RADIUS:
+                return True
+        return False
 
     # ================= reset / step ===================================
     def reset(self, seed=None):
@@ -351,6 +388,19 @@ class Kitchen:
             pos, ori = self.compute_robot_base_placement_pose(init_fixture)
             self.controller.set_base_pose(pos[:2], ori[2])
         self._reset_internal()
+        # objects placed inside a drawer were positioned at the CLOSED
+        # pose; if _reset_internal opened the drawer, carry them along
+        # (reference kitchen_doors.py:56-66 orders state-then-place for
+        # the same reason)
+        from lipvq_tpu.robocasa.sim.fixtures import Drawer, rot_z
+
+        for oname, fx in self._obj_fixture.items():
+            if isinstance(fx, Drawer):
+                s = self.get_joint_qpos(f"{fx.name}_slidejoint")
+                if abs(s) > 1e-9:
+                    shift = rot_z(fx.yaw) @ np.array([0.0, -s, 0.0])
+                    adr = self.model.joint(f"{oname}_freejoint").qposadr[0]
+                    self.data.qpos[adr : adr + 3] += shift
         mujoco.mj_forward(self.model, self.data)
         # let free objects settle onto their supports
         for _ in range(40):

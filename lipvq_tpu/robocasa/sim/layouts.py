@@ -255,14 +255,20 @@ def _one_wall(length, island):
     return fixtures
 
 
+CORNER = 1.0  # corner clearance so side-wall fixtures don't collide
+# with the main run's standing zone (reference layouts leave corners
+# to blind cabinets for the same reason)
+
+
 def _l_shaped(length, island):
     fixtures = []
-    room_d = 3.6 if island else 3.0
+    room_d = 4.4 if island else 3.8
     _room(fixtures, length, room_d)
     run = _WallRun(fixtures, [0.0, 0.0, 0.0], 0.0, "main")
     sink, stove = _bottom_standard(run, with_fridge=False)
     _top_standard(run, stove)
-    # left wall run (fronts face +x)
+    # left wall run (fronts face +x), far end toward the corner,
+    # stopping CORNER short of the main wall
     run2 = _WallRun(fixtures, [0.0, -room_d + 0.4, 0.0], math.pi / 2, "left")
     run2.add(Fridge, 0.8, depth=0.7)
     run2.add(Counter, 0.9)
@@ -272,7 +278,7 @@ def _l_shaped(length, island):
     counters = [f for f in fixtures if type(f) is Counter]
     _coffee_machine(fixtures, counters)
     if island:
-        _island(fixtures, length / 2 + 0.4, -2.2)
+        _island(fixtures, length / 2 + 0.6, -2.4)
     return fixtures
 
 
@@ -298,23 +304,22 @@ def _galley(length):
 
 def _u_shaped(length, island):
     fixtures = _l_shaped(length, island=False)
-    room_d = 3.6 if island else 3.0
-    # right wall run (fronts face -x)
-    run3 = _WallRun(fixtures, [length, -0.4, 0.0], -math.pi / 2, "right")
+    # right wall run (fronts face -x), starting CORNER below the main
+    # wall so the corner standing zones stay clear
+    run3 = _WallRun(fixtures, [length, -CORNER, 0.0], -math.pi / 2, "right")
     run3.add(Counter, 1.0)
     run3.add(Drawer, 0.6)
     run3.add(Counter, 0.8)
     run3.add_top(HingeCabinet, 0.9)
     if island:
-        _island(fixtures, length / 2, -2.4)
-    del room_d
+        _island(fixtures, length / 2, -2.6)
     return fixtures
 
 
 def _g_shaped(length, island):
     fixtures = _u_shaped(length, island=False)
     # peninsula off the right wall
-    pen = Counter("peninsula", [length - 0.8, -2.6, 0], (1.4, 0.65, CTR_H), yaw=math.pi)
+    pen = Counter("peninsula", [length - 1.9, -2.8, 0], (1.4, 0.65, CTR_H), yaw=math.pi)
     fixtures.append(pen)
     if island:
         _island(fixtures, length / 2 - 0.6, -2.2, w=1.4)
@@ -329,25 +334,25 @@ def _wraparound(length):
 def build_layout(layout_id):
     """-> list[Fixture] for the given layout id."""
     if layout_id == 0:
-        return _one_wall(4.6, island=False)
+        return _one_wall(5.6, island=False)
     if layout_id == 1:
-        return _one_wall(5.6, island=True)
+        return _one_wall(6.4, island=True)
     if layout_id == 2:
-        return _l_shaped(4.8, island=False)
+        return _l_shaped(5.0, island=False)
     if layout_id == 3:
-        return _l_shaped(5.6, island=True)
+        return _l_shaped(5.8, island=True)
     if layout_id == 4:
-        return _galley(5.0)
+        return _galley(5.2)
     if layout_id == 5:
-        return _u_shaped(4.8, island=False)
+        return _u_shaped(5.0, island=False)
     if layout_id == 6:
-        return _u_shaped(5.8, island=True)
+        return _u_shaped(6.0, island=True)
     if layout_id == 7:
-        return _g_shaped(5.0, island=False)
+        return _g_shaped(5.2, island=False)
     if layout_id == 8:
-        return _g_shaped(5.8, island=True)
+        return _g_shaped(6.0, island=True)
     if layout_id == 9:
-        return _wraparound(6.0)
+        return _wraparound(6.2)
     raise ValueError(f"unknown layout id {layout_id}")
 
 

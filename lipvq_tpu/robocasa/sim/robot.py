@@ -105,19 +105,19 @@ def build_robot(spec, base_pos=(0.0, -1.5, 0.0), base_yaw=0.0):
     # palm + fingers (point down: -z)
     palm = wrist.add_body(name="robot0_palm", pos=[0, 0, -0.07])
     pg = palm.add_geom(name="robot0_palm_geom", type=mujoco.mjtGeom.mjGEOM_BOX,
-                       size=[0.045, 0.02, 0.012], rgba=[0.5, 0.5, 0.55, 1])
+                       size=[0.045, 0.015, 0.012], rgba=[0.5, 0.5, 0.55, 1])
     pg.contype, pg.conaffinity = 2, 3
     pg.density = 800.0
-    palm.add_site(name="robot0_grip_site", pos=[0, 0, -0.065],
+    palm.add_site(name="robot0_grip_site", pos=[0, 0, -0.085],
                   size=[0.008, 0.008, 0.008], rgba=[1, 0, 0, 0.4])
     for side, sgn in (("left", -1), ("right", 1)):
-        f = palm.add_body(name=f"robot0_{side}finger", pos=[sgn * 0.045, 0, -0.04])
+        f = palm.add_body(name=f"robot0_{side}finger", pos=[sgn * 0.045, 0, -0.06])
         f.add_joint(name=f"robot0_{side}finger_joint",
                     type=mujoco.mjtJoint.mjJNT_SLIDE,
                     axis=[-sgn, 0, 0], range=list(GRIP_RANGE), damping=8.0)
         fg = f.add_geom(name=f"robot0_{side}finger_geom",
                         type=mujoco.mjtGeom.mjGEOM_BOX,
-                        size=[0.006, 0.018, 0.035], pos=[0, 0, 0],
+                        size=[0.006, 0.012, 0.05], pos=[0, 0, 0],
                         rgba=[0.25, 0.25, 0.28, 1])
         fg.contype, fg.conaffinity = 2, 3
         fg.friction = [2.0, 0.05, 0.0002]
@@ -156,7 +156,7 @@ def build_robot(spec, base_pos=(0.0, -1.5, 0.0), base_yaw=0.0):
     servo("robot0_wrist_yaw", 40, -2 * math.pi, 2 * math.pi)
     servo("robot0_wrist_pitch", 40, -math.pi, math.pi)
     servo("robot0_wrist_roll", 40, -math.pi, math.pi)
-    servo("robot0_leftfinger_joint", 120, *GRIP_RANGE)
+    servo("robot0_leftfinger_joint", 1000, *GRIP_RANGE)
 
     # place the base
     return acts
@@ -215,7 +215,22 @@ class RobotController:
     def _target(self, joint):
         return self.data.ctrl[self._act_idx[f"act_{joint}"]]
 
+    # anti-windup: never let a position target run further than this
+    # from the actual joint, or contact phases spring-load the servo
+    # and the arm whips to the stale target when the contact releases
+    _WINDUP = {
+        "robot0_arm_x": 0.20,
+        "robot0_arm_y": 0.20,
+        "robot0_arm_z": 0.20,
+        "robot0_base_x": 0.30,
+        "robot0_base_y": 0.30,
+    }
+
     def _set(self, joint, val, lo, hi):
+        w = self._WINDUP.get(joint)
+        if w is not None:
+            q = self.data.qpos[self._joint_qadr[joint]]
+            val = float(np.clip(val, q - w, q + w))
         self.data.ctrl[self._act_idx[f"act_{joint}"]] = float(np.clip(val, lo, hi))
 
     def apply(self, action):
@@ -252,8 +267,9 @@ class RobotController:
             self._set("robot0_wrist_roll", self._target("robot0_wrist_roll") + a[3] * ARM_ROT_SCALE, -math.pi, math.pi)
             self._set("robot0_wrist_pitch", self._target("robot0_wrist_pitch") + a[4] * ARM_ROT_SCALE, -math.pi, math.pi)
             self._set("robot0_wrist_yaw", self._target("robot0_wrist_yaw") + a[5] * ARM_ROT_SCALE, -2 * math.pi, 2 * math.pi)
-        # gripper always active: a[6] > 0 -> close (0.0), < 0 -> open (0.04)
-        grip_t = GRIP_RANGE[0] if a[6] > 0 else GRIP_RANGE[1]
+        # gripper always active: a[6] > 0 -> close (fingers travel
+        # inward to qpos max), < 0 -> open (qpos 0 = widest)
+        grip_t = GRIP_RANGE[1] if a[6] > 0 else GRIP_RANGE[0]
         self._set("robot0_leftfinger_joint", grip_t, *GRIP_RANGE)
 
     def set_base_pose(self, xy, yaw):

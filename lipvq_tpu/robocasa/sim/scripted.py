@@ -1,0 +1,552 @@
+"""Privileged scripted policies for kitchen demo collection.
+
+The reference collects demos by human teleop (robocasa
+scripts/collect_demos.py keyboard/spacemouse, :481-491) and ships
+MimicGen-generated datasets. Neither input device nor MimicGen is
+available here, so this module provides *scripted experts*: waypoint
+phase machines using privileged sim state (fixture joint values, object
+poses) that solve the atomic tasks and emit the same 12-dim actions a
+teleoperator would. `scripts/collect_demos.py --scripted` uses these to
+generate kitchen training corpora end-to-end.
+
+Design: each policy is a generator of phases; a phase produces actions
+until its `done(env)` predicate or budget is exhausted. Actions go
+through the same `env.step` contract as any policy (no state writes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from lipvq_tpu.robocasa.sim.fixtures import HingeCabinet
+
+
+def _base_yaw(env):
+    return env.get_joint_qpos("robot0_base_yaw")
+
+
+def _world_to_armlocal(env, d_world):
+    yaw = _base_yaw(env)
+    c, s = math.cos(yaw), math.sin(yaw)
+    R = np.array([[c, -s], [s, c]])
+    return R.T @ np.asarray(d_world)[:2]
+
+
+def arm_action(env, target, grip=-1.0, wrist_yaw=None, scale=0.05, gain=1.0):
+    """Delta action moving the grip site toward a world target."""
+    d = np.asarray(target) - env.eef_pos()
+    dl = _world_to_armlocal(env, d)
+    a = np.zeros(12)
+    a[0] = np.clip(gain * dl[0] / scale, -1, 1)
+    a[1] = np.clip(gain * dl[1] / scale, -1, 1)
+    a[2] = np.clip(gain * d[2] / scale, -1, 1)
+    if wrist_yaw is not None:
+        err = wrist_yaw - env.get_joint_qpos("robot0_wrist_yaw")
+        a[5] = np.clip(err / 0.15, -1, 1)
+    a[6] = grip
+    return a
+
+
+def base_action(env, target_xy, target_yaw, grip=-1.0):
+    """Base-mode action driving toward a world base pose. Inverts the
+    mixing in RobotController.apply."""
+    yaw = _base_yaw(env)
+    base = env.data.body("robot0_base").xpos
+    d = np.asarray(target_xy) - base[:2]
+    c, s = math.cos(yaw), math.sin(yaw)
+    # apply(): dx = -s*fwd + c*side ; dy = -c*fwd - s*side
+    fwd = -s * d[0] - c * d[1]
+    side = c * d[0] - s * d[1]
+    dyaw = (target_yaw - yaw + math.pi) % (2 * math.pi) - math.pi
+    a = np.zeros(12)
+    a[7] = np.clip(fwd / 0.05, -1, 1)
+    a[8] = np.clip(side / 0.05, -1, 1)
+    a[9] = np.clip(dyaw / 0.10, -1, 1)
+    a[6] = grip
+    a[11] = 1.0
+    return a
+
+
+class Phase:
+    def __init__(self, act_fn, done_fn, budget=120, name=""):
+        self.act = act_fn
+        self.done = done_fn
+        self.budget = budget
+        self.name = name
+
+
+class ScriptedPolicy:
+    """Phase-machine expert. Subclasses define build_phases(env)."""
+
+    def __init__(self, env):
+        # accept EnvKitchen adapters or raw Kitchen envs
+        self.env = getattr(env, "env", env)
+        self.reset()
+
+    def reset(self):
+        self._phases = None
+        self._idx = 0
+        self._t = 0
+
+    def build_phases(self, env):
+        raise NotImplementedError
+
+    def get_action(self, obs=None):
+        env = self.env
+        if self._phases is None:
+            self._phases = self.build_phases(env)
+        while self._idx < len(self._phases):
+            ph = self._phases[self._idx]
+            if self._t >= ph.budget or ph.done(env):
+                self._idx += 1
+                self._t = 0
+                continue
+            self._t += 1
+            return ph.act(env)
+        return np.zeros(12)  # hold
+
+    @property
+    def finished(self):
+        return self._phases is not None and self._idx >= len(self._phases)
+
+
+def _near(env, target, tol):
+    target = np.asarray(target, dtype=float)
+    return lambda e: np.linalg.norm(e.eef_pos() - target) < tol
+
+
+def _track(target_fn, grip=-1.0, wrist_yaw=None, gain=1.0):
+    return lambda e: arm_action(e, target_fn(e), grip=grip, wrist_yaw=wrist_yaw, gain=gain)
+
+
+# ===================== Navigate =======================================
+
+
+class NavigatePolicy(ScriptedPolicy):
+    """Drive the base to the target pose (kitchen_navigate.py success:
+    within 0.20m and cos(dyaw) >= 0.98)."""
+
+    def build_phases(self, env):
+        tgt_xy = env.target_pos[:2]
+        tgt_yaw = env.target_ori[2]
+
+        def done(e):
+            base = e.data.body("robot0_base").xpos
+            dyaw = (tgt_yaw - _base_yaw(e) + math.pi) % (2 * math.pi) - math.pi
+            return (
+                np.linalg.norm(tgt_xy - base[:2]) < 0.10
+                and abs(dyaw) < 0.1
+            )
+
+        return [
+            Phase(lambda e: base_action(e, tgt_xy, tgt_yaw), done, budget=400,
+                  name="drive"),
+        ]
+
+
+# ===================== Drawer =========================================
+
+
+class OpenDrawerPolicy(ScriptedPolicy):
+    """Hook the drawer handle with rotated fingers and pull with the
+    base until the slide fraction passes the success threshold."""
+
+    def build_phases(self, env):
+        dw = env.drawer
+        front = np.array([math.sin(dw.yaw), -math.cos(dw.yaw), 0.0])
+
+        def bar(e):
+            return e.geom_xpos(dw.handle_name)
+
+        def above(e):
+            return bar(e) + np.array([0, 0, 0.15])
+
+        def straddle(e):
+            return bar(e) + np.array([0, 0, 0.005])
+
+        wy = self._wrist_target(env, front)
+        frac = lambda e: dw.get_door_state(e)["drawer"]
+        return [
+            Phase(_track(above, wrist_yaw=wy),
+                  lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.015
+                  and abs(e.get_joint_qpos("robot0_wrist_yaw") - wy) < 0.1,
+                  budget=200, name="above"),
+            Phase(_track(straddle, wrist_yaw=wy),
+                  lambda e: np.linalg.norm(e.eef_pos() - straddle(e)) < 0.012,
+                  budget=120, name="descend"),
+            # finger-bar contact starts at q~=0.027 (0.078-2q = bar
+            # 0.024); require 2mm of servo preload so the clamp carries
+            # load before the pull starts
+            Phase(lambda e: arm_action(e, straddle(e), grip=1.0, wrist_yaw=wy),
+                  lambda e: e.get_joint_qpos("robot0_leftfinger_joint") > 0.029,
+                  budget=40, name="close"),
+            # pull with the arm along the slide axis; when the drawer
+            # box nears the robot base, back the base up (the open
+            # drawer needs the standing spot)
+            Phase(self._pull_act(front, bar, wy),
+                  lambda e: frac(e) > 0.93, budget=400, name="pull"),
+        ]
+
+    @staticmethod
+    def _pull_act(front, bar, wy):
+        state = {"t": 0}
+
+        def act(e):
+            state["t"] += 1
+            base = e.data.body("robot0_base").xpos
+            # arm-pull while the arm still has retraction room; once the
+            # eef nears the base (arm_y local > -0.3), creep the base
+            # back — interleaved with arm re-seating steps so the hook
+            # stays on the bar (a pure base drag yanks it off)
+            eef_local_y = _world_to_armlocal(e, e.eef_pos() - base)[1]
+            grab = bar(e) + front * 0.02 + np.array([0, 0, 0.005])
+            if eef_local_y > -0.30 and state["t"] % 3 != 0:
+                a = base_action(
+                    e, base[:2] + front[:2] * 0.20, _base_yaw(e), grip=1.0
+                )
+                a[7:10] *= 0.2  # creep
+                return a
+            # quasi-static pull: fast yanks back-drive the finger servo
+            # and the bar pops out of the grip
+            return arm_action(e, grab, grip=1.0, wrist_yaw=wy, gain=0.35)
+
+        return act
+
+    @staticmethod
+    def _wrist_target(env, front):
+        """Wrist yaw so fingers close across the bar (along front)."""
+        yaw = _base_yaw(env)
+        # fingers close along palm x; palm x in world = (cos(yaw+wy), sin(yaw+wy))
+        desired = math.atan2(front[1], front[0])
+        wy = desired - yaw
+        while wy > math.pi:
+            wy -= 2 * math.pi
+        while wy < -math.pi:
+            wy += 2 * math.pi
+        return wy
+
+
+class CloseDrawerPolicy(ScriptedPolicy):
+    """Push the drawer box front until it seats."""
+
+    def build_phases(self, env):
+        dw = env.drawer
+        front = np.array([math.sin(dw.yaw), -math.cos(dw.yaw), 0.0])
+        frac = lambda e: dw.get_door_state(e)["drawer"]
+
+        def bar(e):
+            return e.geom_xpos(dw.handle_name)
+
+        def seated(e):
+            return frac(e) < 0.03
+
+        return [
+            Phase(_track(lambda e: bar(e) + front * 0.12, grip=1.0),
+                  lambda e: np.linalg.norm(e.eef_pos() - (bar(e) + front * 0.12)) < 0.02,
+                  budget=200, name="front"),
+            # track just past the (retreating) handle so the closed
+            # fingers keep pressing the box front as it slides home
+            Phase(lambda e: arm_action(e, bar(e) - front * 0.03, grip=1.0,
+                                       gain=0.5),
+                  seated, budget=460, name="push"),
+        ]
+
+
+# ===================== Buttons ========================================
+
+
+class PressMicrowaveButtonPolicy(ScriptedPolicy):
+    """Press start/stop, then retreat past the 0.15m 'far' check."""
+
+    def build_phases(self, env):
+        mw = env.microwave
+        button = "start_button" if env.behavior == "turn_on" else "stop_button"
+        front = np.array([math.sin(mw.yaw), -math.cos(mw.yaw), 0.0])
+        bpos = lambda e: e.geom_xpos(f"{mw.name}_{button}")
+        target_on = env.behavior == "turn_on"
+
+        def pressed(e):
+            return mw.get_state()["turned_on"] == target_on
+
+        return [
+            Phase(_track(lambda e: bpos(e) + front * 0.10, grip=1.0),
+                  lambda e: np.linalg.norm(e.eef_pos() - (bpos(e) + front * 0.10)) < 0.02,
+                  budget=240, name="approach"),
+            Phase(_track(lambda e: bpos(e) - front * 0.02, grip=1.0, gain=0.5),
+                  pressed, budget=120, name="press"),
+            Phase(_track(lambda e: bpos(e) + front * 0.22, grip=1.0),
+                  lambda e: mw.gripper_button_far(e, button=button),
+                  budget=120, name="retreat"),
+        ]
+
+
+class PressCoffeeButtonPolicy(ScriptedPolicy):
+    def build_phases(self, env):
+        cm = env.coffee_machine
+        front = np.array([math.sin(cm.yaw), -math.cos(cm.yaw), 0.0])
+        bpos = lambda e: e.geom_xpos(f"{cm.name}_start_button")
+        return [
+            Phase(_track(lambda e: bpos(e) + front * 0.10, grip=1.0),
+                  lambda e: np.linalg.norm(e.eef_pos() - (bpos(e) + front * 0.10)) < 0.02,
+                  budget=240, name="approach"),
+            Phase(_track(lambda e: bpos(e) - front * 0.02, grip=1.0, gain=0.5),
+                  lambda e: cm.get_state()["turned_on"], budget=120, name="press"),
+            Phase(_track(lambda e: bpos(e) + front * 0.22, grip=1.0),
+                  lambda e: cm.gripper_button_far(e), budget=120, name="retreat"),
+        ]
+
+
+# ===================== Doors ==========================================
+
+
+class OpenDoorPolicy(ScriptedPolicy):
+    """Grasp the (vertical) handle bar and follow the opening arc."""
+
+    behavior = "open"
+
+    def build_phases(self, env):
+        fx = env.door_fxtr
+        phases = []
+        handles = self._handles(fx)
+        for joint, handle in handles:
+            phases.extend(self._door_phases(env, fx, joint, handle))
+        return phases
+
+    @staticmethod
+    def _handles(fx):
+        if isinstance(fx, HingeCabinet):
+            return [
+                (f"{fx.name}_rightdoorjoint", f"{fx.name}_righthandle"),
+                (f"{fx.name}_leftdoorjoint", f"{fx.name}_lefthandle"),
+            ]
+        if hasattr(fx, "handle_name"):
+            joints = fx.door_joints() if hasattr(fx, "door_joints") else []
+            return [(joints[0], fx.handle_name)]
+        raise ValueError(f"no handle on {fx.name}")
+
+    def _door_phases(self, env, fx, joint, handle):
+        from lipvq_tpu.robocasa.sim.fixtures import DOOR_RANGE
+
+        lo, hi = DOOR_RANGE
+        target_frac = 0.95 if self.behavior == "open" else 0.02
+        opening = self.behavior == "open"
+        front = np.array([math.sin(fx.yaw), -math.cos(fx.yaw), 0.0])
+
+        def frac(e):
+            q = e.get_joint_qpos(joint)
+            return (q - lo) / (hi - lo)
+
+        def hpos(e):
+            # work below the bar center so the palm clears the bar top
+            return e.geom_xpos(handle) + np.array([0, 0, -0.045])
+
+        def approach(e):
+            return hpos(e) + front * 0.12
+
+        def grasp_pt(e):
+            return hpos(e)
+
+        def door_normal(e):
+            # outward panel normal, rotating with the door angle
+            q = e.get_joint_qpos(joint)
+            axis = e.data.xaxis[e.model.joint(joint).dofadr[0]]
+            ang = q * np.sign(axis[2])
+            c, s = math.cos(ang), math.sin(ang)
+            return np.array(
+                [c * front[0] - s * front[1], s * front[0] + c * front[1], 0.0]
+            )
+
+        def lateral(e):
+            n = door_normal(e)
+            return np.array([-n[1], n[0], 0.0])
+
+        # The expert never grips the bar: a closed-finger "peg" slips
+        # into the gap behind (open) / in front of (close) the handle
+        # and pushes the bar along the hinge arc — pure normal-force
+        # transmission, robust to hinge handedness (sign probed from
+        # the fraction trend).
+        swing_state = {"sign": 1.0, "stall": 0, "last": None}
+
+        def peg_pt(e, lateral_off=0.0, depth=0.027):
+            # behind the bar for opening, in front for closing
+            side = -1.0 if opening else 1.0
+            return (
+                hpos(e)
+                + door_normal(e) * side * depth
+                + lateral(e) * lateral_off
+            )
+
+        def arc_target(e):
+            anchor = e.data.xanchor[e.model.joint(joint).dofadr[0]]
+            r = peg_pt(e) - anchor
+            f = frac(e)
+            if swing_state["last"] is not None:
+                moved = (f - swing_state["last"]) * (1 if opening else -1)
+                if moved < 5e-5:
+                    swing_state["stall"] += 1
+                else:
+                    swing_state["stall"] = 0
+                if swing_state["stall"] > 20:
+                    swing_state["sign"] *= -1.0
+                    swing_state["stall"] = 0
+            swing_state["last"] = f
+            dtheta = 0.06 * swing_state["sign"]
+            ca, sa = math.cos(dtheta), math.sin(dtheta)
+            rr = np.array([ca * r[0] - sa * r[1], sa * r[0] + ca * r[1], r[2]])
+            return anchor + rr
+
+        def done_frac(e):
+            return frac(e) > target_frac if opening else frac(e) < target_frac
+
+        entry_off = 0.07  # slide in beside the bar, then center
+
+        # stand toward the handle side: the door swings toward the
+        # hinge, so this vantage keeps the bar inside the arm workspace
+        # through the full 90-degree arc
+        handle_side = float(np.sign(fx.to_local(env.geom_xpos(handle))[0]) or 1.0)
+        stand_pos, stand_ori = env.compute_robot_base_placement_pose(
+            fx, offset=(handle_side * 0.22, -0.12)
+        )
+
+        def stand_done(e):
+            b = e.data.body("robot0_base").xpos
+            return np.linalg.norm(b[:2] - stand_pos[:2]) < 0.08
+
+        return [
+            Phase(lambda e: base_action(e, stand_pos[:2], stand_ori[2], grip=1.0),
+                  stand_done, budget=200, name="stand"),
+            Phase(_track(lambda e: peg_pt(e, entry_off) + front * 0.12, grip=1.0),
+                  lambda e: np.linalg.norm(
+                      e.eef_pos() - (peg_pt(e, entry_off) + front * 0.12)) < 0.02,
+                  budget=260, name=f"approach:{handle}"),
+            Phase(_track(lambda e: peg_pt(e, entry_off), grip=1.0, gain=0.5),
+                  lambda e: np.linalg.norm(e.eef_pos() - peg_pt(e, entry_off)) < 0.008,
+                  budget=140, name="insert"),
+            Phase(_track(lambda e: peg_pt(e), grip=1.0, gain=0.3),
+                  lambda e: np.linalg.norm(e.eef_pos() - peg_pt(e)) < 0.008,
+                  budget=140, name="center"),
+            Phase(self._swing_or_step(arc_target, peg_pt, door_normal),
+                  done_frac, budget=600, name="swing"),
+            Phase(lambda e: arm_action(e, e.eef_pos() + front * 0.08, grip=1.0),
+                  lambda e: True, budget=12, name="release"),
+        ]
+
+
+    @staticmethod
+    def _swing_or_step(arc_target, peg_pt, door_normal):
+        """Swing via the arm; when the bar leaves the arm workspace
+        (the door arc wraps around the robot), side-step the base to a
+        fresh vantage in front of the moving bar."""
+
+        def act(e):
+            base = e.data.body("robot0_base").xpos
+            local = _world_to_armlocal(e, e.eef_pos() - base)
+            if local[1] > 0.10 or abs(local[0]) > 0.65:
+                stand = peg_pt(e) + door_normal(e) * 0.55
+                return base_action(e, stand[:2], _base_yaw(e), grip=1.0)
+            return arm_action(e, arc_target(e), grip=1.0, gain=0.6)
+
+        return act
+
+
+class CloseDoorPolicy(OpenDoorPolicy):
+    """Same peg scheme with the push side flipped (behavior='close')."""
+
+    behavior = "close"
+
+
+# ===================== Sink faucet ====================================
+
+
+class SinkFaucetPolicy(ScriptedPolicy):
+    """Sweep the handle lever with closed fingers (a 'peg' push) to
+    reach/leave the water-on window (sink.py:67-110: on = 0.40 < q < pi)."""
+
+    def build_phases(self, env):
+        sink = env.sink
+        joint = f"{sink.name}_handle_joint"
+        target = 0.9 if env.behavior == "turn_on" else -0.1
+        bar = f"{sink.name}_handlebar"
+
+        def anchor(e):
+            return e.data.xanchor[e.model.joint(joint).dofadr[0]]
+
+        def _rot_about(e, point, dq):
+            a = anchor(e)
+            r = np.asarray(point) - a
+            ca, sa = math.cos(dq), math.sin(dq)
+            return a + np.array(
+                [ca * r[0] - sa * r[1], sa * r[0] + ca * r[1], r[2]]
+            )
+
+        def bpos(e):
+            return e.geom_xpos(bar)
+
+        def sweep_dir(e):
+            return 1.0 if target > e.get_joint_qpos(joint) else -1.0
+
+        def contact_pt(e):
+            # stand slightly behind the bar relative to the sweep, at
+            # the same working radius as the push
+            a = anchor(e)
+            r = bpos(e) - a
+            ang = math.atan2(r[1], r[0]) - 0.25 * sweep_dir(e)
+            R = 0.12
+            return a + np.array([R * math.cos(ang), R * math.sin(ang), 0.0])
+
+        def push_pt(e):
+            # track a point at fixed radius slightly AHEAD of the
+            # lever's current angle: small lead keeps the peg pressed
+            # against the bar without orbiting past its tip
+            a = anchor(e)
+            r = bpos(e) - a
+            ang = math.atan2(r[1], r[0]) + 0.10 * sweep_dir(e)
+            R = 0.12
+            return a + np.array([R * math.cos(ang), R * math.sin(ang), 0.0])
+
+        def done(e):
+            return sink.get_handle_state(e)["water_on"] == (
+                env.behavior == "turn_on"
+            )
+
+        return [
+            Phase(_track(lambda e: contact_pt(e) + np.array([0, 0, 0.10]),
+                         grip=1.0),
+                  lambda e: np.linalg.norm(
+                      e.eef_pos() - (contact_pt(e) + np.array([0, 0, 0.10]))) < 0.02,
+                  budget=240, name="above"),
+            Phase(_track(contact_pt, grip=1.0, gain=0.6),
+                  lambda e: np.linalg.norm(e.eef_pos() - contact_pt(e)) < 0.015,
+                  budget=100, name="lower"),
+            Phase(lambda e: arm_action(e, push_pt(e), grip=1.0, gain=0.5),
+                  done, budget=450, name="sweep"),
+        ]
+
+
+# ===================== registry ======================================
+
+TASK_POLICIES = {
+    "NavigateKitchen": NavigatePolicy,
+    "OpenDrawer": OpenDrawerPolicy,
+    "CloseDrawer": CloseDrawerPolicy,
+    "TurnOnMicrowave": PressMicrowaveButtonPolicy,
+    "TurnOffMicrowave": PressMicrowaveButtonPolicy,
+    "CoffeePressButton": PressCoffeeButtonPolicy,
+    "OpenSingleDoor": OpenDoorPolicy,
+    "OpenDoubleDoor": OpenDoorPolicy,
+    "CloseSingleDoor": CloseDoorPolicy,
+    "CloseDoubleDoor": CloseDoorPolicy,
+    "TurnOnSinkFaucet": SinkFaucetPolicy,
+    "TurnOffSinkFaucet": SinkFaucetPolicy,
+}
+
+
+def make_scripted_policy(task_name, env):
+    if task_name not in TASK_POLICIES:
+        raise KeyError(
+            f"no scripted policy for {task_name!r}; available: "
+            f"{sorted(TASK_POLICIES)}"
+        )
+    return TASK_POLICIES[task_name](env)

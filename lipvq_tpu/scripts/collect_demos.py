@@ -32,10 +32,18 @@ def scripted_policy(obs: dict, rng) -> np.ndarray:
     return np.clip(a, -1, 1)
 
 
-def collect_demo(env, policy_fn, max_steps: int, rng):
+def collect_demo(env, policy_fn, max_steps: int, rng, policy_factory=None):
     obs = env.reset()
+    # per-episode experts (kitchen scripted policies) rebuild their
+    # waypoint phases from the fresh episode's fixtures
+    if policy_factory is not None:
+        expert = policy_factory(env)
+
+        def policy_fn(o, _rng):
+            return expert.get_action(o)
+
     traj = {"obs": [], "actions": [], "rewards": [], "dones": [],
-            "states": []}
+            "states": [], "lang": getattr(env, "ep_lang_str", None)}
     for t in range(max_steps):
         a = policy_fn(obs, rng)
         state = env.get_state()
@@ -47,6 +55,8 @@ def collect_demo(env, policy_fn, max_steps: int, rng):
         success = info.get("is_success", {}).get("task", False)
         traj["dones"].append(float(done or success))
         if done or success:
+            break
+        if policy_factory is not None and expert.finished:
             break
     return traj, bool(success)
 
@@ -70,10 +80,18 @@ def write_demos(path: str, env, trajs: list[dict], lang: str | None = None,
                                                       np.float32))
             states = traj["states"]
             if states and isinstance(states[0], dict):
-                flat = np.stack([
-                    np.concatenate([np.ravel(v) for v in s.values()])
-                    for s in states
-                ])
+                if "states" in states[0]:
+                    # kitchen-style {states, ep_meta, model}: store the
+                    # flat sim state; the model xml (identical within a
+                    # demo) goes to attrs for exact reset_to replay
+                    flat = np.stack([np.asarray(s["states"]) for s in states])
+                    if states[0].get("model"):
+                        g.attrs["model_file"] = states[0]["model"]
+                else:
+                    flat = np.stack([
+                        np.concatenate([np.ravel(v) for v in s.values()])
+                        for s in states
+                    ])
             else:
                 flat = np.stack(states) if states[0] is not None else (
                     np.zeros((n, 1), np.float32)
@@ -91,9 +109,12 @@ def write_demos(path: str, env, trajs: list[dict], lang: str | None = None,
                     nxt = np.concatenate([arr[1:], arr[-1:]], axis=0)
                     nog.create_dataset(k, data=nxt)
             g.attrs["num_samples"] = n
-            g.attrs["ep_meta"] = json.dumps(
-                {"lang": lang or getattr(env, "ep_lang_str", None) or "demo"}
+            ep_meta = dict(traj.get("ep_meta") or {})
+            ep_meta["lang"] = (
+                traj.get("lang") or lang
+                or getattr(env, "ep_lang_str", None) or "demo"
             )
+            g.attrs["ep_meta"] = json.dumps(ep_meta)
             total += n
         data.attrs["total"] = total
     return path
@@ -120,9 +141,31 @@ def main():
 
     env = create_env(args.env, seed=args.seed)
     rng = np.random.default_rng(args.seed)
-    trajs, n_success = [], 0
-    while len(trajs) < args.n_demos:
-        traj, success = collect_demo(env, scripted_policy, args.max_steps, rng)
+
+    # kitchen tasks use the privileged scripted experts; the synthetic
+    # env keeps its go-to-goal controller
+    policy_factory = None
+    try:
+        from lipvq_tpu.robocasa.sim.scripted import (
+            TASK_POLICIES,
+            make_scripted_policy,
+        )
+
+        if args.env in TASK_POLICIES:
+            def policy_factory(e):
+                return make_scripted_policy(args.env, e)
+    except ImportError:
+        pass
+
+    trajs, n_success, attempts = [], 0, 0
+    while len(trajs) < args.n_demos and attempts < args.n_demos * 8:
+        attempts += 1
+        traj, success = collect_demo(
+            env, scripted_policy, args.max_steps, rng,
+            policy_factory=policy_factory,
+        )
+        if hasattr(env, "get_ep_meta"):
+            traj["ep_meta"] = env.get_ep_meta()
         if args.only_success and not success:
             continue
         trajs.append(traj)
