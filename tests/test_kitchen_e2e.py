@@ -1,0 +1,93 @@
+"""Full-stack kitchen milestone (SURVEY.md §7 phase 2 end-to-end):
+scripted-expert demos from the MuJoCo kitchen sim -> robomimic HDF5 ->
+ICL+LipVQ training through the real train() driver -> closed-loop
+rollout back in the kitchen env -> checkpoint reload + get_action.
+"""
+
+import glob
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from lipvq_tpu.config import config_factory  # noqa: E402
+from lipvq_tpu.utils.test_utils import icl_test_config_overrides  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def kitchen_hdf5(tmp_path_factory):
+    """Collect OpenDrawer expert demos (fixed 2-object scenes keep the
+    obs key set consistent across episodes)."""
+    from lipvq_tpu.robocasa.env_utils import create_env
+    from lipvq_tpu.robocasa.sim.scripted import make_scripted_policy
+    from lipvq_tpu.scripts.collect_demos import collect_demo, write_demos
+
+    path = str(tmp_path_factory.mktemp("kitchen") / "drawer_demos.hdf5")
+    env = create_env("OpenDrawer", seed=3)
+    rng = np.random.default_rng(0)
+    trajs = []
+    attempts = 0
+    while len(trajs) < 6 and attempts < 30:
+        attempts += 1
+        traj, success = collect_demo(
+            env, None, 250, rng,
+            policy_factory=lambda e: make_scripted_policy("OpenDrawer", e),
+        )
+        if not success:
+            continue
+        traj["ep_meta"] = env.get_ep_meta()
+        trajs.append(traj)
+    assert len(trajs) == 6, f"expert only produced {len(trajs)}/6 demos"
+    write_demos(path, env, trajs)
+    env.close()
+    return path
+
+
+def test_dataset_contract(kitchen_hdf5):
+    """Collected kitchen HDF5 matches the robomimic schema (A.1)."""
+    with h5py.File(kitchen_hdf5) as f:
+        env_args = json.loads(f["data"].attrs["env_args"])
+        assert env_args["env_name"] == "OpenDrawer"
+        demo = f["data/demo_0"]
+        assert demo["actions"].shape[1] == 12
+        assert "robot0_eef_pos" in demo["obs"]
+        meta = json.loads(demo.attrs["ep_meta"])
+        assert "drawer" in meta["lang"]
+        assert demo.attrs["model_file"]  # exact reset_to replay support
+
+
+def test_train_and_rollout_on_kitchen(kitchen_hdf5, tmp_path):
+    """train() + in-loop closed-loop rollout on the real kitchen env."""
+    from lipvq_tpu.scripts.train import train
+    from lipvq_tpu.utils.file_utils import policy_from_checkpoint
+
+    d = icl_test_config_overrides()
+    d["train"]["data"] = kitchen_hdf5
+    d["train"]["output_dir"] = str(tmp_path)
+    d["experiment"]["rollout"] = {
+        "enabled": True, "n": 1, "horizon": 50, "rate": 1,
+    }
+    cfg = config_factory("icl", d)
+    ckpt_dir = train(cfg)
+    ckpts = glob.glob(os.path.join(ckpt_dir, "*.ckpt"))
+    assert ckpts, "expected a saved checkpoint"
+
+    model, ckpt = policy_from_checkpoint(ckpts[0])
+    t = model.context_length
+    obs = {
+        k: np.zeros((1, t) + tuple(s), np.float32)
+        for k, s in model.obs_shapes.items()
+    }
+    ctx = {"obs": obs, "actions": np.zeros((1, t, model.ac_dim), np.float32)}
+    a = model.get_action(obs, ctx)
+    assert a.shape == (1, model.ac_dim)
+    assert np.isfinite(a).all()
+    # the checkpoint's env metadata reconstructs the kitchen env
+    env_meta = ckpt["env_metadata"]
+    if isinstance(env_meta, str):
+        env_meta = json.loads(env_meta)
+    assert env_meta["env_name"] == "OpenDrawer"
