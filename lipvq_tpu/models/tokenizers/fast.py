@@ -100,11 +100,25 @@ class FastActionTokenizer:
 
         Returns [N, seq_len, feat_dim].
         """
+        # host-side BPE per chunk (string work), then ONE text-encoder
+        # call over the union of token strings — the per-chunk encoder
+        # calls the reference makes (obs_nets.py:1309-1331) were the
+        # slow part, not the BPE
+        all_ids = [self.encode(chunk) for chunk in chunks]
+        vocab = sorted({str(t) for ids in all_ids for t in ids})
+        if vocab:
+            vocab_emb = np.asarray(
+                text_encoder.get_lang_emb(vocab), np.float32
+            )
+            table = {t: vocab_emb[i] for i, t in enumerate(vocab)}
+        else:
+            table = {}
+
         out = np.zeros((len(chunks), seq_len, feat_dim), np.float32)
-        for i, chunk in enumerate(chunks):
-            ids = self.encode(chunk)
-            texts = [str(t) for t in ids]
-            emb = np.asarray(text_encoder.get_lang_emb(texts), np.float32)
+        for i, ids in enumerate(all_ids):
+            emb = np.stack([table[str(t)] for t in ids]) if len(ids) else (
+                np.zeros((0, feat_dim), np.float32)
+            )
             emb = emb[..., :feat_dim]
             if emb.shape[-1] < feat_dim:
                 emb = np.pad(emb, ((0, 0), (0, feat_dim - emb.shape[-1])))
@@ -113,7 +127,7 @@ class FastActionTokenizer:
             )
             n = emb.shape[0]
             if n >= seq_len:
-                idx = np.linspace(0, n - 1, seq_len).astype(int)
+                idx = np.linspace(0, max(n - 1, 0), seq_len).astype(int)
                 out[i] = emb[idx]
             else:
                 out[i, :n] = emb

@@ -279,6 +279,7 @@ def train(config, eval_only: bool = False):
                 env_meta=env_meta, shape_meta=shape_meta,
                 obs_normalization_stats=obs_normalization_stats,
                 action_normalization_stats=train_ds.get_action_normalization_stats(),
+                lang_backend=(lang_encoder.backend if lang_encoder else None),
             )
             # restartable full state (params + optimizer + rng) — TPU-native
             # improvement over the reference's params-only checkpoints

@@ -56,6 +56,8 @@ class LangEncoder:
         self._model = None
         self._tokenizer = None
         self._backend = None
+        self._flax_tower = None
+        self._flax_vars = None
 
     def _load(self):
         if self._backend is not None:
@@ -84,6 +86,24 @@ class LangEncoder:
             )
             return
         try:
+            # preferred: port the weights into the flax tower (TPU-native,
+            # fp32-matmul parity with the torch implementation is pinned
+            # by tests/test_clip_text.py)
+            try:
+                from lipvq_tpu.models.clip_text import load_pretrained_flax_clip
+
+                self._flax_tower, self._flax_vars, self._tokenizer = (
+                    load_pretrained_flax_clip(self.model_name)
+                )
+                self._backend = "clip_flax"
+                _BACKEND_CACHE[self.model_name] = "clip_flax"
+                logger.info(
+                    "LangEncoder: using flax CLIP text tower %s",
+                    self.model_name,
+                )
+                return
+            except Exception:
+                pass  # fall through to the torch tower
             from transformers import AutoTokenizer, CLIPTextModelWithProjection
 
             try:
@@ -115,6 +135,14 @@ class LangEncoder:
                 type(e).__name__,
             )
 
+    @property
+    def backend(self) -> str:
+        """Resolved embedding backend ('clip_flax' | 'clip' | 'hash');
+        recorded into checkpoints so eval-time consumers know whether
+        lang_emb stats came from real CLIP or the hermetic fallback."""
+        self._load()
+        return self._backend
+
     def _hash_embed(self, text: str) -> np.ndarray:
         seed = int.from_bytes(
             hashlib.sha256(text.encode()).digest()[:8], "little"
@@ -130,7 +158,17 @@ class LangEncoder:
         missing = [t for t in texts if t not in self._cache]
         if missing:
             self._load()
-            if self._backend == "clip":
+            if self._backend == "clip_flax":
+                toks = self._tokenizer(
+                    missing, padding=True, return_tensors="np"
+                )
+                ids = np.asarray(toks["input_ids"], np.int32)
+                embs = np.asarray(
+                    self._flax_tower.apply(self._flax_vars, ids)
+                )
+                for t, e in zip(missing, embs):
+                    self._cache[t] = e.astype(np.float32)
+            elif self._backend == "clip":
                 import torch
 
                 with torch.no_grad():
