@@ -46,6 +46,13 @@ def create_env_from_metadata(env_meta: dict, render: bool = False,
         from lipvq_tpu.envs.env_gym import EnvGym
 
         return EnvGym(env_name, **env_kwargs)
+    if env_type == EnvType.IG_MOMART_TYPE:
+        from lipvq_tpu.envs.env_ig_momart import EnvIGMomart
+
+        return EnvIGMomart(
+            env_name, render=render, render_offscreen=render_offscreen,
+            **env_kwargs,
+        )
     raise ValueError(
         f"No environment adapter for env_meta type={env_type!r} "
         f"name={env_name!r}"

@@ -525,6 +525,22 @@ class Kitchen:
         build (layout/style/objects/placements), the saved model xml
         guarantees an identical compiled model, and qpos/qvel restore
         the dynamics (reference env_robosuite.py:156-217)."""
+        flat = state.get("states")
+        if (
+            flat is not None
+            and not state.get("ep_meta")
+            and not state.get("model")
+            and self.model is not None
+            and len(flat) == self.model.nq + self.model.nv
+        ):
+            # hot replay path (obs extraction steps through states of
+            # one demo): restore qpos/qvel on the live model without a
+            # procedural rebuild
+            self.data.qpos[:] = flat[: self.model.nq]
+            self.data.qvel[:] = flat[self.model.nq :]
+            mujoco.mj_forward(self.model, self.data)
+            self.controller.reset_targets()
+            return self.get_observation()
         ep_meta = state.get("ep_meta")
         if ep_meta:
             self._pending_ep_meta = (

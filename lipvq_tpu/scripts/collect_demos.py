@@ -132,14 +132,51 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
-    if args.device != "scripted":
-        raise SystemExit(
-            "keyboard/spacemouse teleop requires robosuite input devices; "
-            "run inside a robosuite installation (reference "
-            "collect_demos.py:481-491) or use --device scripted"
-        )
-
     env = create_env(args.env, seed=args.seed)
+
+    if args.device != "scripted":
+        # terminal teleop (reference collect_demos.py:481-491 uses
+        # robosuite Keyboard/SpaceMouse; ours reads raw stdin)
+        from lipvq_tpu.robocasa.sim.devices import make_device
+
+        device = make_device(args.device)
+        trajs, n_success = [], 0
+        print("teleop: wasd/rf move arm, space grip, b base mode, "
+              "q end episode, . mark success")
+        while len(trajs) < args.n_demos:
+            obs = env.reset()
+            print(f"episode {len(trajs)}: {env.ep_lang_str}")
+            device.start_control()
+            traj = {"obs": [], "actions": [], "rewards": [], "dones": [],
+                    "states": [], "lang": getattr(env, "ep_lang_str", None)}
+            try:
+                for t in range(args.max_steps):
+                    a, ctrl = device.get_action()
+                    traj["obs"].append(obs)
+                    traj["states"].append(env.get_state())
+                    obs, r, done, info = env.step(a)
+                    traj["actions"].append(a)
+                    traj["rewards"].append(r)
+                    success = (
+                        info.get("is_success", {}).get("task", False)
+                        or ctrl["success"]
+                    )
+                    traj["dones"].append(float(done or success))
+                    if done or success or ctrl["done"]:
+                        break
+            finally:
+                device.stop_control()
+            if hasattr(env, "get_ep_meta"):
+                traj["ep_meta"] = env.get_ep_meta()
+            if args.only_success and not success:
+                continue
+            trajs.append(traj)
+            n_success += int(success)
+        write_demos(args.output, env, trajs)
+        print(f"wrote {len(trajs)} demos ({n_success} successful) to "
+              f"{args.output}")
+        return
+
     rng = np.random.default_rng(args.seed)
 
     # kitchen tasks use the privileged scripted experts; the synthetic

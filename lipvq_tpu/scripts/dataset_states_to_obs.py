@@ -35,6 +35,8 @@ def extract_trajectory(env, demo: dict, camera_names=(), camera_height=128,
     init = {"states": states[0]}
     if demo.get("model_file"):
         init["model"] = demo["model_file"]
+    if demo.get("ep_meta"):
+        init["ep_meta"] = demo["ep_meta"]
     env.reset_to(init)
     for t in range(n):
         env.reset_to({"states": states[t]})
@@ -71,6 +73,7 @@ def _worker(env_meta, dataset_path, work_queue, out_queue, camera_names,
                 "states": np.asarray(g["states"]),
                 "actions": np.asarray(g["actions"]),
                 "model_file": g.attrs.get("model_file", None),
+                "ep_meta": g.attrs.get("ep_meta", None),
             }
             traj = extract_trajectory(
                 env, demo, camera_names, camera_height, camera_width
