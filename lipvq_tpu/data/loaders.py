@@ -87,6 +87,46 @@ class PrefetchLoader:
             yield item
 
 
+class DevicePrefetchLoader:
+    """Device-transfer prefetch: eagerly ``jax.device_put``s upcoming
+    batches so the host->device copy (the dominant cost over a
+    dev-tunnel, and a real cost on any host) overlaps the previous
+    step's compute — the flax ``prefetch_to_device`` pattern. Compose
+    outside PrefetchLoader: host assembly overlaps in a thread, device
+    transfer overlaps via async dispatch."""
+
+    def __init__(self, loader, size: int = 2, transform=None, put=None):
+        self.loader = loader
+        self.size = max(1, int(size))
+        self.transform = transform  # host-side prep BEFORE device_put
+        self.put = put  # device placement (e.g. a model's sharding put)
+
+    def __len__(self):
+        return len(self.loader)
+
+    @staticmethod
+    def _put(batch):
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x) if hasattr(x, "shape") else x, batch
+        )
+
+    def __iter__(self):
+        import collections
+
+        q: collections.deque = collections.deque()
+        put = self.put or self._put
+        for batch in self.loader:
+            if self.transform is not None:
+                batch = self.transform(batch)
+            q.append(put(batch))
+            if len(q) > self.size:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
+
 class CyclingIterator:
     """Infinite iterator that restarts the loader on exhaustion
     (reference run_epoch's StopIteration handling)."""

@@ -304,6 +304,27 @@ class CropRandomizer(nn.Module):
 # Visual cores
 # ---------------------------------------------------------------------------
 
+class CrossAttentionConditioner(nn.Module):
+    """Cross-attention language conditioning over the feature map
+    (reference ResNet18ConvCrossAttention, base_nets.py:944-1021:
+    flattened 512-d patches query a single 768-d lang_emb token through
+    8-head attention; kdim/vdim projection is what flax's
+    MultiHeadDotProductAttention does for mismatched kv dims)."""
+
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, feat_map, lang_emb):
+        B, H, W, C = feat_map.shape
+        x = feat_map.reshape(B, H * W, C)
+        kv = lang_emb[:, None, :]
+        x = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=C, out_features=C,
+            name="cross_attention",
+        )(x, kv)
+        return x.reshape(B, H, W, C)
+
+
 class VisualCore(nn.Module):
     """backbone -> pool -> flatten -> linear proj (reference obs_core.py:61).
 
@@ -343,9 +364,12 @@ class VisualCore(nn.Module):
             "ResNet34ConvFiLM": ResNet34Conv,
             "ResNet50Conv": ResNet50Conv,
             "ResNet50ConvFiLM": ResNet50Conv,
+            "ResNet18ConvCrossAttention": ResNet18Conv,
             "ShallowConv": ShallowConv,
         }.get(self.backbone, ResNet18Conv)
         h = backbone_cls(name="backbone")(x, train=train, film_cond=film_cond)
+        if self.backbone.endswith("CrossAttention") and lang_emb is not None:
+            h = CrossAttentionConditioner(name="xattn")(h, lang_emb)
         if self.pool == "SpatialSoftmax":
             f = SpatialSoftmax(num_kp=self.num_kp, name="pool")(h, train=train)
         else:
