@@ -188,7 +188,17 @@ class Fixture:
             rgba=list(rgba),
         )
         if euler is not None:
-            g.alt.euler = list(euler)
+            # assigning g.alt.euler does NOT persist through MjSpec
+            # compilation (same binding trap as scalar joint attrs);
+            # set the quaternion explicitly (XYZ euler order)
+            cx, cy, cz = [math.cos(a / 2) for a in euler]
+            sx, sy, sz = [math.sin(a / 2) for a in euler]
+            g.quat = [
+                cx * cy * cz + sx * sy * sz,
+                sx * cy * cz - cx * sy * sz,
+                cx * sy * cz + sx * cy * sz,
+                cx * cy * sz - sx * sy * cz,
+            ]
         return Fixture._mark(g, dynamic)
 
 
@@ -852,6 +862,11 @@ class Stove(Fixture):
                 damping=0.3,
             )
             self._cyl(knob, f"{self.name}_knobcyl_{loc}", 0.022, 0.015, [0, -0.015, 0], style["handle"], euler=[math.pi / 2, 0, 0], dynamic=True)
+            # radial tab (real knobs have a grip ridge): gives the
+            # scripted expert a push surface to rotate the knob
+            self._box(knob, f"{self.name}_knobtab_{loc}",
+                      [0.007, 0.008, 0.04], [0, -0.02, -0.06],
+                      style["handle"], dynamic=True)
         return body
 
     def set_knob_state(self, env, rng, knob, mode="on"):

@@ -429,8 +429,9 @@ class OpenDoorPolicy(ScriptedPolicy):
                   budget=140, name="center"),
             Phase(self._swing_or_step(arc_target, peg_pt, door_normal),
                   done_frac, budget=600, name="swing"),
-            Phase(lambda e: arm_action(e, e.eef_pos() + front * 0.08, grip=1.0),
-                  lambda e: True, budget=12, name="release"),
+            Phase(lambda e: arm_action(e, e.eef_pos() + front * 0.10,
+                                       grip=1.0, gain=0.6),
+                  lambda e: False, budget=12, name="release"),
         ]
 
 
@@ -525,6 +526,228 @@ class SinkFaucetPolicy(ScriptedPolicy):
         ]
 
 
+# ===================== Sink spout =====================================
+
+
+class SinkSpoutPolicy(ScriptedPolicy):
+    """Sweep the spout arm about its swivel until spout_ori matches the
+    behavior (sink.py:96-107: left = (pi, 2pi - pi/6), right =
+    (pi/6, pi) after mod-2pi)."""
+
+    def build_phases(self, env):
+        sink = env.sink
+        joint = f"{sink.name}_spout_joint"
+        arm = f"{sink.name}_spout_arm"
+        # representative in-window targets (mod-2pi): left ~ -pi/2
+        # (=3pi/2), right ~ +pi/2
+        target = -math.pi / 2 if env.behavior == "left" else math.pi / 2
+
+        def anchor(e):
+            return e.data.xanchor[e.model.joint(joint).dofadr[0]]
+
+        def apos(e):
+            return e.geom_xpos(arm)
+
+        def sweep_dir(e):
+            return 1.0 if target > e.get_joint_qpos(joint) else -1.0
+
+        def _at(e, dq, radius=0.17):
+            a = anchor(e)
+            r = apos(e) - a
+            ang = math.atan2(r[1], r[0]) + dq
+            return a + np.array(
+                [radius * math.cos(ang), radius * math.sin(ang), r[2]]
+            )
+
+        def done(e):
+            return sink.get_handle_state(e)["spout_ori"] == env.behavior
+
+        return [
+            Phase(_track(lambda e: _at(e, -0.3 * sweep_dir(e))
+                         + np.array([0, 0, 0.12]), grip=1.0),
+                  lambda e: np.linalg.norm(
+                      e.eef_pos() - (_at(e, -0.3 * sweep_dir(e))
+                                     + np.array([0, 0, 0.12]))) < 0.025,
+                  budget=240, name="above"),
+            Phase(_track(lambda e: _at(e, -0.3 * sweep_dir(e)), grip=1.0,
+                         gain=0.5),
+                  lambda e: np.linalg.norm(
+                      e.eef_pos() - _at(e, -0.3 * sweep_dir(e))) < 0.02,
+                  budget=120, name="lower"),
+            Phase(lambda e: arm_action(e, _at(e, 0.06 * sweep_dir(e)),
+                                       grip=1.0, gain=0.25),
+                  done, budget=400, name="sweep"),
+        ]
+
+
+# ===================== Stove knobs ====================================
+
+
+class StoveKnobPolicy(ScriptedPolicy):
+    """Rotate the selected knob via its radial tab: the peg sweeps the
+    tab along its circle in the vertical (x-z) plane about the knob
+    axis (stove.py:109-160; on = 0.35 <= |q| <= 2pi - 0.35)."""
+
+    def build_phases(self, env):
+        stove = env.stove
+        loc = env.knob
+        joint = f"{stove.name}_knob_{loc}_joint"
+        tab = f"{stove.name}_knobtab_{loc}"
+        turn_on = env.behavior == "turn_on"
+        target = 0.9 if turn_on else 0.0
+
+        def knob_center(e):
+            return e.geom_xpos(f"{stove.name}_knobcyl_{loc}")
+
+        def tpos(e):
+            return e.geom_xpos(tab)
+
+        def sweep_dir(e):
+            q = e.get_joint_qpos(joint)
+            return 1.0 if target > q else -1.0
+
+        def _at(e, dq, radius=0.075):
+            c = knob_center(e)
+            r = tpos(e) - c
+            # rotation about the knob's local y axis: the tab circles
+            # in the plane spanned by world x-z for a front-facing
+            # stove; use the fixture frame to stay orientation-correct
+            rl = stove.to_local(tpos(e)) - stove.to_local(knob_center(e))
+            # +q about the knob's local +y axis moves the tab angle
+            # theta -> theta - q in the local x-z plane
+            ang = math.atan2(rl[2], rl[0]) - dq
+            lp = np.array([radius * math.cos(ang), rl[1],
+                           radius * math.sin(ang)])
+            return stove.to_world(stove.to_local(knob_center(e)) + lp)
+
+        def done(e):
+            q = abs(e.get_joint_qpos(joint)) % (2 * math.pi)
+            on = 0.35 <= q <= 2 * math.pi - 0.35
+            return on if turn_on else not on
+
+        return [
+            Phase(_track(lambda e: _at(e, -0.45 * sweep_dir(e))
+                         - np.array([math.sin(stove.yaw),
+                                     -math.cos(stove.yaw), 0]) * -0.08,
+                         grip=1.0),
+                  lambda e: np.linalg.norm(
+                      e.eef_pos() - (_at(e, -0.45 * sweep_dir(e))
+                                     - np.array([math.sin(stove.yaw),
+                                                 -math.cos(stove.yaw), 0])
+                                     * -0.08)) < 0.02,
+                  budget=240, name="approach"),
+            Phase(_track(lambda e: _at(e, -0.45 * sweep_dir(e)), grip=1.0,
+                         gain=0.5),
+                  lambda e: np.linalg.norm(
+                      e.eef_pos() - _at(e, -0.45 * sweep_dir(e))) < 0.015,
+                  budget=120, name="engage"),
+            Phase(lambda e: arm_action(e, _at(e, 0.30 * sweep_dir(e)),
+                                       grip=1.0, gain=0.3),
+                  done, budget=400, name="sweep"),
+        ]
+
+
+# ===================== PnP ============================================
+
+
+class PnPSinkPolicy(ScriptedPolicy):
+    """Counter<->sink pick-and-place: straddle-grasp the object, lift,
+    carry over the destination region, release (kitchen_pnp.py:261-477
+    success predicates)."""
+
+    def build_phases(self, env):
+        obj = env.objects["obj"]
+
+        def opos(e):
+            return e.object_pos("obj")
+
+        grasp_z = max(obj.height * 0.5, 0.02)
+
+        def dest(e):
+            if type(e).__name__ == "PnPCounterToSink":
+                fixture = e.fixture  # the sink
+                c, _ = fixture.sample_region()
+                return fixture.to_world(c + np.array([0, 0, 0.25]))
+            # sink -> counter: drop zone near the sink on the counter
+            counter = e.counter
+            ref = counter.to_local(e.fixture.center)
+            cx = float(np.clip(ref[0] + 0.45, -counter.width / 2 + 0.2,
+                               counter.width / 2 - 0.2))
+            return counter.to_world(
+                np.array([cx, 0.0, counter.height + 0.22])
+            )
+
+        def held(e):
+            q = e.get_joint_qpos("robot0_leftfinger_joint")
+            return 0.004 < q < 0.039 and (
+                e.check_contact("robot0_leftfinger_geom", "obj_")
+                or e.check_contact("robot0_rightfinger_geom", "obj_")
+            )
+
+        def above(e):
+            return opos(e) + np.array([0, 0, 0.18])
+
+        def at_obj(e):
+            return opos(e) + np.array([0, 0, grasp_z - 0.02])
+
+        lift_state = {"z": None}
+        self._lift_state = lift_state
+
+        def _lift_act():
+            def act(e):
+                if lift_state["z"] is None:
+                    lift_state["z"] = float(e.eef_pos()[2]) + 0.25
+                t = np.array([e.eef_pos()[0], e.eef_pos()[1],
+                              lift_state["z"]])
+                return arm_action(e, t, grip=1.0, gain=0.4)
+
+            return act
+
+        def _lift_done():
+            def done(e):
+                return (lift_state["z"] is not None
+                        and e.eef_pos()[2] > lift_state["z"] - 0.02)
+
+            return done
+
+        self._lift_act = _lift_act
+        self._lift_done = _lift_done
+
+        return [
+            Phase(_track(above, grip=-1.0),
+                  lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
+                  budget=260, name="above"),
+            Phase(_track(at_obj, grip=-1.0, gain=0.5),
+                  lambda e: np.linalg.norm(e.eef_pos() - at_obj(e)) < 0.015,
+                  budget=140, name="descend"),
+            Phase(lambda e: arm_action(e, at_obj(e), grip=1.0),
+                  held, budget=40, name="grasp"),
+            # fixed lift target captured at phase entry (a target that
+            # tracks the held object chases itself upward)
+            Phase(self._lift_act(), self._lift_done(), budget=80,
+                  name="lift"),
+            Phase(lambda e: arm_action(e, dest(e), grip=1.0, gain=0.3),
+                  lambda e: np.linalg.norm(e.eef_pos()[:2] - dest(e)[:2])
+                  < 0.05, budget=400, name="carry"),
+            Phase(lambda e: arm_action(e, dest(e), grip=-1.0),
+                  lambda e: not held(e), budget=30, name="release"),
+            # success needs gripper_obj_far (> 0.25m): rise straight
+            # up (lateral motion can fling the just-released object),
+            # then back off toward the base
+            Phase(lambda e: arm_action(
+                e, np.array([e.eef_pos()[0], e.eef_pos()[1],
+                             opos(e)[2] + 0.4]), grip=-1.0, gain=0.5),
+                lambda e: e.eef_pos()[2] > opos(e)[2] + 0.3,
+                budget=60, name="rise"),
+            Phase(lambda e: arm_action(
+                e, e.eef_pos() + 0.5 * (
+                    e.data.body("robot0_base").xpos - e.eef_pos())
+                * np.array([1, 1, 0]), grip=-1.0, gain=0.5),
+                lambda e: np.linalg.norm(e.eef_pos() - opos(e)) > 0.3,
+                budget=60, name="retreat"),
+        ]
+
+
 # ===================== registry ======================================
 
 TASK_POLICIES = {
@@ -540,6 +763,11 @@ TASK_POLICIES = {
     "CloseDoubleDoor": CloseDoorPolicy,
     "TurnOnSinkFaucet": SinkFaucetPolicy,
     "TurnOffSinkFaucet": SinkFaucetPolicy,
+    "TurnSinkSpout": SinkSpoutPolicy,
+    "TurnOnStove": StoveKnobPolicy,
+    "TurnOffStove": StoveKnobPolicy,
+    "PnPCounterToSink": PnPSinkPolicy,
+    "PnPSinkToCounter": PnPSinkPolicy,
 }
 
 

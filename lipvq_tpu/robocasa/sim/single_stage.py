@@ -708,7 +708,7 @@ class PnPCounterToCab(PnP):
                 obj_groups=self.obj_groups,
                 exclude_obj_groups=self.exclude_obj_groups,
                 graspable=True,
-                max_size=(0.22, 0.22, 0.30),
+                max_size=(0.08, 0.08, 0.30),
                 placement=dict(
                     fixture=self.counter,
                     sample_region_kwargs=dict(ref=self.cab),
@@ -766,7 +766,7 @@ class PnPCabToCounter(PnP):
                 obj_groups=self.obj_groups,
                 exclude_obj_groups=self.exclude_obj_groups,
                 graspable=True,
-                max_size=(0.22, 0.22, 0.30),
+                max_size=(0.08, 0.08, 0.30),
                 placement=dict(fixture=self.cab, size=(0.30, 0.30), pos=(None, -1.0)),
             )
         ]
@@ -783,6 +783,9 @@ class _PnPFixtureBase(PnP):
     SRC = None  # "counter" or fixture type
     DST = None
     LANG = ("", "")
+    # graspable objects must fit the 8cm gripper span; cookware tasks
+    # override (cookware is carried by its handle in the reference)
+    MAX_SIZE = (0.08, 0.08, 0.30)
 
     def _setup_kitchen_references(self):
         super()._setup_kitchen_references()
@@ -828,7 +831,7 @@ class _PnPFixtureBase(PnP):
                 graspable=True,
                 washable=True if self._needs_washable() else None,
                 microwavable=True if self._needs_microwavable() else None,
-                max_size=(0.22, 0.22, 0.30),
+                max_size=self.MAX_SIZE,
                 placement=self._obj_start_placement(),
             )
         ]
@@ -913,6 +916,7 @@ class PnPCounterToStove(_PnPFixtureBase):
 
     SRC, DST = "counter", "fixture"
     LANG = ("counter", "on the stove")
+    MAX_SIZE = (0.22, 0.22, 0.30)
 
     def __init__(self, obj_groups="cookware", *args, **kwargs):
         super().__init__(obj_groups=obj_groups, *args, **kwargs)
@@ -929,6 +933,7 @@ class PnPStoveToCounter(_PnPFixtureBase):
 
     SRC, DST = "fixture", "counter"
     LANG = ("stove", "on the counter")
+    MAX_SIZE = (0.22, 0.22, 0.30)
 
     def __init__(self, obj_groups="cookware", *args, **kwargs):
         super().__init__(obj_groups=obj_groups, *args, **kwargs)

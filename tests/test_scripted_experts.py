@@ -46,6 +46,11 @@ RELIABLE = {
     "TurnOffSinkFaucet": (0,),
     "OpenSingleDoor": (0,),
     "CloseSingleDoor": (1,),
+    "TurnSinkSpout": (0,),
+    "TurnOnStove": (0,),
+    "TurnOffStove": (1,),
+    "PnPCounterToSink": (1,),
+    "PnPSinkToCounter": (0,),
 }
 
 
@@ -62,6 +67,8 @@ def test_registry_covers_atomic_families():
         "NavigateKitchen", "OpenDrawer", "CloseDrawer", "OpenSingleDoor",
         "CloseSingleDoor", "OpenDoubleDoor", "CloseDoubleDoor",
         "TurnOnMicrowave", "TurnOffMicrowave", "CoffeePressButton",
-        "TurnOnSinkFaucet", "TurnOffSinkFaucet",
+        "TurnOnSinkFaucet", "TurnOffSinkFaucet", "TurnSinkSpout",
+        "TurnOnStove", "TurnOffStove", "PnPCounterToSink",
+        "PnPSinkToCounter",
     ):
         assert family in TASK_POLICIES

@@ -140,3 +140,34 @@ def test_icl_image_modality_end_to_end(rng):
            "actions": pb["actions"][:1]}
     a = model.get_action({k: v[:1] for k, v in pb["obs"].items()}, ctx)
     assert a.shape == (1, 12) and np.isfinite(a).all()
+
+
+def test_cross_attention_core():
+    """ResNet18ConvCrossAttention analogue (reference base_nets.py:944):
+    feature-map patches query the lang embedding through 8-head
+    attention; output keeps the conv feature-map shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from lipvq_tpu.models.obs_core import VisualCore
+
+    core = VisualCore(
+        feature_dimension=32, backbone="ResNet18ConvCrossAttention",
+        pool="SpatialMeanPool",
+    )
+    v = core.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 32, 32, 3)),
+        train=False, lang_emb=jnp.zeros((2, 768)),
+    )
+    out = core.apply(
+        v, jnp.ones((2, 32, 32, 3)), train=False,
+        lang_emb=jnp.ones((2, 768)),
+    )
+    assert out.shape == (2, 32)
+    assert bool(jnp.isfinite(out).all())
+    # conditioning is real: different lang_emb -> different features
+    out2 = core.apply(
+        v, jnp.ones((2, 32, 32, 3)), train=False,
+        lang_emb=-jnp.ones((2, 768)),
+    )
+    assert float(jnp.abs(out - out2).max()) > 1e-6
