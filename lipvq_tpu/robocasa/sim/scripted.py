@@ -650,19 +650,85 @@ class StoveKnobPolicy(ScriptedPolicy):
 # ===================== PnP ============================================
 
 
+def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
+                      carry_gain=0.3, name=""):
+    """Reusable straddle-grasp pick-and-place phase list: approach
+    above the object, descend, close until held, lift to a fixed
+    height, carry over ``dest_fn(env)``, release, rise, back off
+    (the gripper_obj_far predicates need >0.25m clearance)."""
+
+    def opos(e):
+        return e.object_pos(obj_name)
+
+    def held(e):
+        q = e.get_joint_qpos("robot0_leftfinger_joint")
+        return 0.004 < q < 0.039 and (
+            e.check_contact("robot0_leftfinger_geom", f"{obj_name}_")
+            or e.check_contact("robot0_rightfinger_geom", f"{obj_name}_")
+        )
+
+    def above(e):
+        return opos(e) + np.array([0, 0, 0.18])
+
+    def at_obj(e):
+        obj = e.objects[obj_name]
+        gz = max(obj.height * 0.5, 0.02) + grasp_dz
+        return opos(e) + np.array([0, 0, gz])
+
+    lift_state = {"z": None}
+
+    def lift_act(e):
+        if lift_state["z"] is None:
+            lift_state["z"] = float(e.eef_pos()[2]) + lift_dz
+        t = np.array([e.eef_pos()[0], e.eef_pos()[1], lift_state["z"]])
+        return arm_action(e, t, grip=1.0, gain=0.4)
+
+    def lift_done(e):
+        return (lift_state["z"] is not None
+                and e.eef_pos()[2] > lift_state["z"] - 0.02)
+
+    tag = name or obj_name
+    return [
+        Phase(_track(above, grip=-1.0),
+              lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
+              budget=260, name=f"above:{tag}"),
+        Phase(_track(at_obj, grip=-1.0, gain=0.5),
+              lambda e: np.linalg.norm(e.eef_pos() - at_obj(e)) < 0.015,
+              budget=140, name=f"descend:{tag}"),
+        Phase(lambda e: arm_action(e, at_obj(e), grip=1.0),
+              held, budget=40, name=f"grasp:{tag}"),
+        # fixed lift target captured at phase entry (a target that
+        # tracks the held object chases itself upward)
+        Phase(lift_act, lift_done, budget=80, name=f"lift:{tag}"),
+        # converge in 3D before releasing: dropping from height
+        # bounces/rolls cylindrical objects off their receptacle
+        Phase(lambda e: arm_action(e, dest_fn(e), grip=1.0,
+                                   gain=carry_gain),
+              lambda e: np.linalg.norm(e.eef_pos() - dest_fn(e)) < 0.04,
+              budget=400, name=f"carry:{tag}"),
+        Phase(lambda e: arm_action(e, dest_fn(e), grip=-1.0),
+              lambda e: not held(e), budget=30, name=f"release:{tag}"),
+        # success needs gripper_obj_far (> 0.25m): rise straight up
+        # (lateral motion can fling the just-released object), then
+        # back off toward the base
+        Phase(lambda e: arm_action(
+            e, np.array([e.eef_pos()[0], e.eef_pos()[1],
+                         opos(e)[2] + 0.4]), grip=-1.0, gain=0.5),
+            lambda e: e.eef_pos()[2] > opos(e)[2] + 0.3,
+            budget=60, name=f"rise:{tag}"),
+        Phase(lambda e: arm_action(
+            e, e.eef_pos() + 0.5 * (
+                e.data.body("robot0_base").xpos - e.eef_pos())
+            * np.array([1, 1, 0]), grip=-1.0, gain=0.5),
+            lambda e: np.linalg.norm(e.eef_pos() - opos(e)) > 0.3,
+            budget=60, name=f"retreat:{tag}"),
+    ]
+
+
 class PnPSinkPolicy(ScriptedPolicy):
-    """Counter<->sink pick-and-place: straddle-grasp the object, lift,
-    carry over the destination region, release (kitchen_pnp.py:261-477
-    success predicates)."""
+    """Counter<->sink pick-and-place (kitchen_pnp.py:261-477)."""
 
     def build_phases(self, env):
-        obj = env.objects["obj"]
-
-        def opos(e):
-            return e.object_pos("obj")
-
-        grasp_z = max(obj.height * 0.5, 0.02)
-
         def dest(e):
             if type(e).__name__ == "PnPCounterToSink":
                 fixture = e.fixture  # the sink
@@ -677,75 +743,146 @@ class PnPSinkPolicy(ScriptedPolicy):
                 np.array([cx, 0.0, counter.height + 0.22])
             )
 
-        def held(e):
-            q = e.get_joint_qpos("robot0_leftfinger_joint")
-            return 0.004 < q < 0.039 and (
-                e.check_contact("robot0_leftfinger_geom", "obj_")
-                or e.check_contact("robot0_rightfinger_geom", "obj_")
-            )
+        return pick_place_phases("obj", dest)
 
-        def above(e):
-            return opos(e) + np.array([0, 0, 0.18])
 
-        def at_obj(e):
-            return opos(e) + np.array([0, 0, grasp_z - 0.02])
+# ===================== Multi-stage composites =========================
 
-        lift_state = {"z": None}
-        self._lift_state = lift_state
 
-        def _lift_act():
-            def act(e):
-                if lift_state["z"] is None:
-                    lift_state["z"] = float(e.eef_pos()[2]) + 0.25
-                t = np.array([e.eef_pos()[0], e.eef_pos()[1],
-                              lift_state["z"]])
-                return arm_action(e, t, grip=1.0, gain=0.4)
+def _press_button_phases(machine_name, button, front, done, far_check):
+    """Approach-press-retreat triple (shared with the button policies)."""
+    def bpos(e):
+        return e.geom_xpos(f"{machine_name}_{button}")
 
-            return act
+    return [
+        Phase(_track(lambda e: bpos(e) + front * 0.10, grip=1.0),
+              lambda e: np.linalg.norm(
+                  e.eef_pos() - (bpos(e) + front * 0.10)) < 0.02,
+              budget=240, name=f"approach:{button}"),
+        Phase(_track(lambda e: bpos(e) - front * 0.02, grip=1.0, gain=0.5),
+              done, budget=120, name=f"press:{button}"),
+        Phase(_track(lambda e: bpos(e) + front * 0.22, grip=1.0),
+              far_check, budget=120, name=f"clear:{button}"),
+    ]
 
-        def _lift_done():
-            def done(e):
-                return (lift_state["z"] is not None
-                        and e.eef_pos()[2] > lift_state["z"] - 0.02)
 
-            return done
+class MicrowaveThawingPolicy(ScriptedPolicy):
+    """Pick the food into the (open) microwave, close the door is not
+    required — press start (microwave_thawing.py:103-110: obj inside +
+    turned_on + gripper far)."""
 
-        self._lift_act = _lift_act
-        self._lift_done = _lift_done
+    def build_phases(self, env):
+        mw = env.microwave
+        front = np.array([math.sin(mw.yaw), -math.cos(mw.yaw), 0.0])
 
-        return [
-            Phase(_track(above, grip=-1.0),
-                  lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
-                  budget=260, name="above"),
-            Phase(_track(at_obj, grip=-1.0, gain=0.5),
-                  lambda e: np.linalg.norm(e.eef_pos() - at_obj(e)) < 0.015,
-                  budget=140, name="descend"),
-            Phase(lambda e: arm_action(e, at_obj(e), grip=1.0),
-                  held, budget=40, name="grasp"),
-            # fixed lift target captured at phase entry (a target that
-            # tracks the held object chases itself upward)
-            Phase(self._lift_act(), self._lift_done(), budget=80,
-                  name="lift"),
-            Phase(lambda e: arm_action(e, dest(e), grip=1.0, gain=0.3),
-                  lambda e: np.linalg.norm(e.eef_pos()[:2] - dest(e)[:2])
-                  < 0.05, budget=400, name="carry"),
-            Phase(lambda e: arm_action(e, dest(e), grip=-1.0),
-                  lambda e: not held(e), budget=30, name="release"),
-            # success needs gripper_obj_far (> 0.25m): rise straight
-            # up (lateral motion can fling the just-released object),
-            # then back off toward the base
-            Phase(lambda e: arm_action(
-                e, np.array([e.eef_pos()[0], e.eef_pos()[1],
-                             opos(e)[2] + 0.4]), grip=-1.0, gain=0.5),
-                lambda e: e.eef_pos()[2] > opos(e)[2] + 0.3,
-                budget=60, name="rise"),
-            Phase(lambda e: arm_action(
-                e, e.eef_pos() + 0.5 * (
-                    e.data.body("robot0_base").xpos - e.eef_pos())
-                * np.array([1, 1, 0]), grip=-1.0, gain=0.5),
-                lambda e: np.linalg.norm(e.eef_pos() - opos(e)) > 0.3,
-                budget=60, name="retreat"),
-        ]
+        def dest(e):
+            c, _ = mw.sample_region()
+            return mw.to_world(c + np.array([0, 0, 0.22])) + front * 0.02
+
+        # order matters: the door starts closed (microwave_thawing.py
+        # _reset_internal) -> open it, place the food, shut it, press
+        opener = OpenDoorPolicy.__new__(OpenDoorPolicy)
+        opener.behavior = "open"
+        phases = opener._door_phases(
+            env, mw, f"{mw.name}_microjoint", f"{mw.name}_door_handle"
+        )
+        phases += pick_place_phases("obj", dest, carry_gain=0.25)
+        closer = CloseDoorPolicy.__new__(CloseDoorPolicy)
+        closer.behavior = "close"
+        phases += closer._door_phases(
+            env, mw, f"{mw.name}_microjoint", f"{mw.name}_door_handle"
+        )
+        phases += _press_button_phases(
+            mw.name, "start_button", front,
+            lambda e: mw.get_state()["turned_on"],
+            lambda e: mw.gripper_button_far(e, button="start_button"),
+        )
+        return phases
+
+
+class PrepareCoffeePolicy(ScriptedPolicy):
+    """Mug from the (opened) cabinet to the coffee machine platform,
+    then press start (prepare_coffee.py:109-120)."""
+
+    def build_phases(self, env):
+        cm = env.coffee_machine
+        front = np.array([math.sin(cm.yaw), -math.cos(cm.yaw), 0.0])
+
+        def dest(e):
+            site = e.site_xpos(f"{cm.name}_dispenser")
+            return site + np.array([0, 0, 0.12])
+
+        phases = pick_place_phases("obj", dest, carry_gain=0.25)
+        phases += _press_button_phases(
+            cm.name, "start_button", front,
+            lambda e: cm.get_state()["turned_on"],
+            lambda e: cm.gripper_button_far(e),
+        )
+        return phases
+
+
+class ArrangeVegetablesPolicy(ScriptedPolicy):
+    """Both vegetables from the sink onto the cutting board
+    (arrange_vegetables.py:96-110)."""
+
+    def build_phases(self, env):
+        def board_dest(e):
+            return e.object_pos("cutting_board") + np.array([0, 0, 0.10])
+
+        phases = []
+        for name in ("vegetable1", "vegetable2"):
+            phases += pick_place_phases(name, board_dest, carry_gain=0.25)
+        return phases
+
+
+class RestockPantryPolicy(ScriptedPolicy):
+    """Both cans into the cabinet, next to the staged can
+    (restock_pantry.py:148-160: inside + closer to cab_obj1 than
+    cab_obj2)."""
+
+    def build_phases(self, env):
+        def dest(e):
+            anchor_pos = e.object_pos("cab_obj1")
+            other = e.object_pos("cab_obj2")
+            away = anchor_pos - other
+            away = away / max(np.linalg.norm(away[:2]), 1e-6)
+            return anchor_pos + np.array([away[0], away[1], 0]) * 0.10 +                 np.array([0, 0, 0.18])
+
+        phases = []
+        for name in ("obj1", "obj2"):
+            phases += pick_place_phases(name, dest, carry_gain=0.25)
+        return phases
+
+
+class PreSoakPanPolicy(ScriptedPolicy):
+    """Sponge and pan into the sink, then turn the water on
+    (pre_soak_pan.py:77-87)."""
+
+    def build_phases(self, env):
+        sink = env.sink
+
+        def sink_dest(e):
+            c, _ = sink.sample_region()
+            return sink.to_world(c + np.array([0, 0, 0.25]))
+
+        phases = pick_place_phases("obj2", sink_dest, carry_gain=0.25,
+                                   name="sponge")
+        # the pan is wider than the gripper span: grasp its handle bar
+        phases += pick_place_phases("obj1", sink_dest, carry_gain=0.2,
+                                    name="pan")
+        faucet = SinkFaucetPolicy.__new__(SinkFaucetPolicy)
+        faucet.env = env
+
+        class _B:  # behavior carrier for the faucet phase builder
+            behavior = "turn_on"
+            sink = env.sink
+
+        env_proxy = env
+        env_proxy_behavior = getattr(env, "behavior", None)
+        del env_proxy, env_proxy_behavior
+        env.behavior = "turn_on"
+        phases += faucet.build_phases(env)
+        return phases
 
 
 # ===================== registry ======================================
@@ -768,6 +905,11 @@ TASK_POLICIES = {
     "TurnOffStove": StoveKnobPolicy,
     "PnPCounterToSink": PnPSinkPolicy,
     "PnPSinkToCounter": PnPSinkPolicy,
+    "MicrowaveThawing": MicrowaveThawingPolicy,
+    "PrepareCoffee": PrepareCoffeePolicy,
+    "ArrangeVegetables": ArrangeVegetablesPolicy,
+    "RestockPantry": RestockPantryPolicy,
+    "PreSoakPan": PreSoakPanPolicy,
 }
 
 

@@ -51,6 +51,7 @@ RELIABLE = {
     "TurnOffStove": (1,),
     "PnPCounterToSink": (1,),
     "PnPSinkToCounter": (0,),
+    "ArrangeVegetables": (0,),
 }
 
 
