@@ -480,7 +480,14 @@ class Kitchen:
         h = height or self.camera_heights
         w = width or self.camera_widths
         if self._renderer is None or getattr(self, "_renderer_hw", None) != (h, w):
-            self._renderer = mujoco.Renderer(self.model, height=h, width=w)
+            try:
+                self._renderer = mujoco.Renderer(self.model, height=h, width=w)
+            except Exception as e:  # no GL backend (headless container)
+                raise RuntimeError(
+                    "offscreen rendering needs an OpenGL backend (EGL/"
+                    "OSMesa), none is available in this environment; "
+                    "run with use_camera_obs=False / low-dim modalities"
+                ) from e
             self._renderer_hw = (h, w)
         self._renderer.update_scene(self.data, camera=camera_name)
         return self._renderer.render()
