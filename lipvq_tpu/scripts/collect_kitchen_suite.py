@@ -1,0 +1,91 @@
+"""Collect an expert demo corpus for the kitchen benchmark suite.
+
+The reference workflow downloads ~5GB of human/MimicGen corpora per
+task (robocasa dataset registry URLs); in this framework the scripted
+experts GENERATE the corpora: one robomimic-format HDF5 per task, with
+episode language, exact-replay states, and (optionally) the A.1
+``action_dict`` keys.
+
+    python -m lipvq_tpu.scripts.collect_kitchen_suite \\
+        --output_dir datasets/kitchen --n_demos 20 \\
+        --tasks OpenDrawer CloseDrawer TurnOnSinkFaucet
+
+Defaults to every task with a scripted expert (TASK_POLICIES).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def collect_task(task: str, output_path: str, n_demos: int, max_steps: int,
+                 seed: int, with_action_dict: bool = True,
+                 attempts_per_demo: int = 6) -> dict:
+    from lipvq_tpu.robocasa.env_utils import create_env
+    from lipvq_tpu.robocasa.sim.scripted import make_scripted_policy
+    from lipvq_tpu.scripts.collect_demos import collect_demo, write_demos
+
+    env = create_env(task, seed=seed)
+    rng = np.random.default_rng(seed)
+    trajs, attempts = [], 0
+    while len(trajs) < n_demos and attempts < n_demos * attempts_per_demo:
+        attempts += 1
+        traj, success = collect_demo(
+            env, None, max_steps, rng,
+            policy_factory=lambda e: make_scripted_policy(task, e),
+        )
+        if not success:
+            continue
+        traj["ep_meta"] = env.get_ep_meta()
+        trajs.append(traj)
+    if trajs:
+        write_demos(output_path, env, trajs)
+        if with_action_dict:
+            from lipvq_tpu.scripts.conversion.extract_action_dict import (
+                extract_action_dict,
+            )
+
+            extract_action_dict(output_path)
+    env.close()
+    return {
+        "task": task,
+        "demos": len(trajs),
+        "attempts": attempts,
+        "path": output_path if trajs else None,
+    }
+
+
+def main():
+    from lipvq_tpu.robocasa.sim.scripted import TASK_POLICIES
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--tasks", type=str, nargs="*", default=None)
+    parser.add_argument("--n_demos", type=int, default=20)
+    parser.add_argument("--max_steps", type=int, default=1000)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    tasks = args.tasks or sorted(TASK_POLICIES)
+    os.makedirs(args.output_dir, exist_ok=True)
+    manifest = []
+    for task in tasks:
+        path = os.path.join(args.output_dir, f"{task}.hdf5")
+        stats = collect_task(task, path, args.n_demos, args.max_steps,
+                             args.seed)
+        manifest.append(stats)
+        print(f"{task}: {stats['demos']}/{args.n_demos} demos "
+              f"({stats['attempts']} attempts)")
+    with open(os.path.join(args.output_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    total = sum(m["demos"] for m in manifest)
+    print(f"suite: {total} demos across {len(manifest)} tasks "
+          f"-> {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

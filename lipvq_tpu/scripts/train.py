@@ -48,7 +48,17 @@ def train(config, eval_only: bool = False):
 
     ObsUtils.initialize_obs_utils_with_config(config)
 
-    dataset_path = os.path.expanduser(config.train.data)
+    data_spec = config.train.data
+    if isinstance(data_spec, (list, tuple)):
+        # multi-dataset (MetaDataset) training: env/shape metadata come
+        # from the first dataset (reference train.py takes dataset 0's
+        # env_meta for the rollout env)
+        first = data_spec[0]
+        dataset_path = os.path.expanduser(
+            first["path"] if not isinstance(first, str) else first
+        )
+    else:
+        dataset_path = os.path.expanduser(data_spec)
     env_meta = FileUtils.get_env_metadata_from_dataset(dataset_path)
     shape_meta = FileUtils.get_shape_metadata_from_dataset(
         dataset_path,
@@ -109,7 +119,11 @@ def train(config, eval_only: bool = False):
         config, obs_keys=shape_meta["all_obs_keys"], lang_encoder=lang_encoder
     )
     print(f"\n============= Training Dataset =============")
-    print(f"{len(train_ds)} sequences / {train_ds.n_demos} demos")
+    n_demos = getattr(train_ds, "n_demos", None)
+    if n_demos is None:  # MetaDataset: sum over members
+        n_demos = sum(getattr(d, "n_demos", 0) for d in
+                      getattr(train_ds, "datasets", []))
+    print(f"{len(train_ds)} sequences / {n_demos} demos")
 
     obs_normalization_stats = None
     if config.train.hdf5_normalize_obs:
