@@ -24,12 +24,14 @@ import numpy as np
 
 def collect_task(task: str, output_path: str, n_demos: int, max_steps: int,
                  seed: int, with_action_dict: bool = True,
-                 attempts_per_demo: int = 6) -> dict:
+                 attempts_per_demo: int = 6, layout_ids=None,
+                 style_ids=None) -> dict:
     from lipvq_tpu.robocasa.env_utils import create_env
     from lipvq_tpu.robocasa.sim.scripted import make_scripted_policy
     from lipvq_tpu.scripts.collect_demos import collect_demo, write_demos
 
-    env = create_env(task, seed=seed)
+    env = create_env(task, seed=seed, layout_ids=layout_ids,
+                     style_ids=style_ids)
     rng = np.random.default_rng(seed)
     trajs, attempts = [], 0
     while len(trajs) < n_demos and attempts < n_demos * attempts_per_demo:
@@ -68,6 +70,9 @@ def main():
     parser.add_argument("--n_demos", type=int, default=20)
     parser.add_argument("--max_steps", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--layout_ids", type=int, default=None,
+                        help="fix the layout (reference layout ids)")
+    parser.add_argument("--style_ids", type=int, default=None)
     args = parser.parse_args()
 
     tasks = args.tasks or sorted(TASK_POLICIES)
@@ -76,7 +81,8 @@ def main():
     for task in tasks:
         path = os.path.join(args.output_dir, f"{task}.hdf5")
         stats = collect_task(task, path, args.n_demos, args.max_steps,
-                             args.seed)
+                             args.seed, layout_ids=args.layout_ids,
+                             style_ids=args.style_ids)
         manifest.append(stats)
         print(f"{task}: {stats['demos']}/{args.n_demos} demos "
               f"({stats['attempts']} attempts)")

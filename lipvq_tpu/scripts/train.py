@@ -266,6 +266,10 @@ def train(config, eval_only: bool = False):
                 frame_stack=config.train.frame_stack,
             )
             for env_name, rollout_logs in all_rollout_logs.items():
+                print(f"Rollout Epoch {epoch} [{env_name}]: "
+                      + json.dumps({k: v for k, v in rollout_logs.items()
+                                    if not k.startswith("Time_")},
+                                   sort_keys=True))
                 for k, v in rollout_logs.items():
                     if k.startswith("Time_"):
                         data_logger.record(
