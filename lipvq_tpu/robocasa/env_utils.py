@@ -26,7 +26,7 @@ def create_env(env_name: str, render: bool = False,
         env_meta["env_kwargs"]["layout_ids"] = layout_ids
     if style_ids is not None:
         env_meta["env_kwargs"]["style_ids"] = style_ids
-    if seed is not None and env_name == "SyntheticKitchen":
+    if seed is not None:
         env_meta["env_kwargs"]["seed"] = seed
     return create_env_from_metadata(
         env_meta, render=render, render_offscreen=render_offscreen

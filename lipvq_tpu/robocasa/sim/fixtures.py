@@ -317,7 +317,11 @@ def _add_handle(body, name, kind, pos, rgba, vertical=True):
     return Fixture._mark(g, dynamic=True)
 
 
-DOOR_RANGE = (0.0, math.pi / 2)  # hinge cabinets open to 90deg
+# hinge cabinets open to an 85deg door stop (real cabinet hinges stop
+# short of 90: a panel shoved past the soft joint limit at 90deg digs
+# into the adjacent fixture's front plane and friction-wedges there —
+# observed as a door pinned at q=1.581 that no closing push could move)
+DOOR_RANGE = (0.0, math.radians(85.0))
 
 
 class SingleCabinet(_DooredBox):

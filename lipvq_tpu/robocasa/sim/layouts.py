@@ -202,10 +202,18 @@ def _top_standard(run, stove, micro=True):
     """Wall cabinets over the bottom row; hood over the stove; the
     microwave slots into the top row (reference one_wall_small.yaml
     top_row)."""
-    run.add_top(SingleCabinet, 0.5, orientation="left")
+    # corner cabinet hinges AWAY from the corner (orientation="right"):
+    # hinged into the corner, the open panel's outer face points at the
+    # side wall and no manipulator vantage exists to push it shut
+    run.add_top(SingleCabinet, 0.5, orientation="right")
     run.add_top(HingeCabinet, 1.0)
     if micro:
+        # the microwave sits 0.10 proud of the cabinet row; leave
+        # door-swing clearance so flush-hinged neighbor doors don't
+        # clip its front corners
+        run.skip_top(0.07)
         mw = run.add_top(Microwave, 0.55, depth=0.45)
+        run.skip_top(0.07)
     else:
         mw = None
     run.add_top(HingeCabinet, 0.9)
@@ -273,6 +281,10 @@ def _l_shaped(length, island):
     run2.add(Fridge, 0.8, depth=0.7)
     run2.add(Counter, 0.9)
     run2.add(Drawer, 0.6)
+    # top row clears the full-height fridge plus door-swing clearance
+    # (a flush top cabinet's door sweeps a plane that clips the deeper
+    # fridge front — and the cabinet body would sit inside the fridge)
+    run2.skip_top(0.8 + 0.08)
     run2.add_top(HingeCabinet, 1.0)
     run2.add_top(SingleCabinet, 0.5)
     counters = [f for f in fixtures if type(f) is Counter]
@@ -295,6 +307,7 @@ def _galley(length):
     run2.add(Counter, 1.2)
     run2.add(Drawer, 0.6)
     run2.add(Counter, 0.9)
+    run2.skip_top(0.8 + 0.08)  # clear the full-height fridge (see _l_shaped)
     run2.add_top(HingeCabinet, 1.0)
     run2.add_top(OpenCabinet, 0.7, num_shelves=2)
     counters = [f for f in fixtures if type(f) is Counter]

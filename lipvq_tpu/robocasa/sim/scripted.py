@@ -112,6 +112,11 @@ class ScriptedPolicy:
         return self._phases is not None and self._idx >= len(self._phases)
 
 
+def _near_stand(e, stand_pos, tol):
+    b = e.data.body("robot0_base").xpos[:2]
+    return bool(np.linalg.norm(b - stand_pos[:2]) < tol)
+
+
 def _near(env, target, tol):
     target = np.asarray(target, dtype=float)
     return lambda e: np.linalg.norm(e.eef_pos() - target) < tol
@@ -367,7 +372,8 @@ class OpenDoorPolicy(ScriptedPolicy):
         # and pushes the bar along the hinge arc — pure normal-force
         # transmission, robust to hinge handedness (sign probed from
         # the fraction trend).
-        swing_state = {"sign": 1.0, "stall": 0, "last": None}
+        swing_state = {"sign": 1.0, "stall": 0, "last": None, "first": None,
+                       "locked": False, "restep": 0}
 
         def peg_pt(e, lateral_off=0.0, depth=0.027):
             # behind the bar for opening, in front for closing
@@ -382,6 +388,16 @@ class OpenDoorPolicy(ScriptedPolicy):
             anchor = e.data.xanchor[e.model.joint(joint).dofadr[0]]
             r = peg_pt(e) - anchor
             f = frac(e)
+            if swing_state["first"] is None:
+                swing_state["first"] = f
+            # once the door has clearly moved the intended way, the
+            # handedness probe is settled: a later stall means the bar
+            # left the arm workspace, so re-step the base instead of
+            # flipping the push direction (flipping near full-open
+            # oscillated the door at ~0.85, just under the 0.90
+            # success threshold)
+            if abs(f - swing_state["first"]) > 0.2:
+                swing_state["locked"] = True
             if swing_state["last"] is not None:
                 moved = (f - swing_state["last"]) * (1 if opening else -1)
                 if moved < 5e-5:
@@ -389,7 +405,10 @@ class OpenDoorPolicy(ScriptedPolicy):
                 else:
                     swing_state["stall"] = 0
                 if swing_state["stall"] > 20:
-                    swing_state["sign"] *= -1.0
+                    if swing_state["locked"]:
+                        swing_state["restep"] = 25
+                    else:
+                        swing_state["sign"] *= -1.0
                     swing_state["stall"] = 0
             swing_state["last"] = f
             dtheta = 0.06 * swing_state["sign"]
@@ -427,7 +446,8 @@ class OpenDoorPolicy(ScriptedPolicy):
             Phase(_track(lambda e: peg_pt(e), grip=1.0, gain=0.3),
                   lambda e: np.linalg.norm(e.eef_pos() - peg_pt(e)) < 0.008,
                   budget=140, name="center"),
-            Phase(self._swing_or_step(arc_target, peg_pt, door_normal),
+            Phase(self._swing_or_step(arc_target, peg_pt, door_normal,
+                                      swing_state),
                   done_frac, budget=600, name="swing"),
             Phase(lambda e: arm_action(e, e.eef_pos() + front * 0.10,
                                        grip=1.0, gain=0.6),
@@ -436,14 +456,22 @@ class OpenDoorPolicy(ScriptedPolicy):
 
 
     @staticmethod
-    def _swing_or_step(arc_target, peg_pt, door_normal):
+    def _swing_or_step(arc_target, peg_pt, door_normal, swing_state):
         """Swing via the arm; when the bar leaves the arm workspace
-        (the door arc wraps around the robot), side-step the base to a
-        fresh vantage in front of the moving bar."""
+        (the door arc wraps around the robot) or the swing stalls after
+        the handedness is settled, side-step the base to a fresh
+        vantage in front of the moving bar."""
 
         def act(e):
             base = e.data.body("robot0_base").xpos
             local = _world_to_armlocal(e, e.eef_pos() - base)
+            if swing_state["restep"] > 0:
+                # stalled after the handedness settled: re-seat the peg
+                # on the bar (approach from the push side, then center)
+                swing_state["restep"] -= 1
+                back = peg_pt(e) + door_normal(e) * 0.10
+                tgt = back if swing_state["restep"] > 12 else peg_pt(e)
+                return arm_action(e, tgt, grip=1.0, gain=0.5)
             if local[1] > 0.10 or abs(local[0]) > 0.65:
                 stand = peg_pt(e) + door_normal(e) * 0.55
                 return base_action(e, stand[:2], _base_yaw(e), grip=1.0)
@@ -453,9 +481,181 @@ class OpenDoorPolicy(ScriptedPolicy):
 
 
 class CloseDoorPolicy(OpenDoorPolicy):
-    """Same peg scheme with the push side flipped (behavior='close')."""
+    """Close by pressing the panel face shut.
+
+    The open-door peg-arc scheme is wrong for closing: retracting the
+    peg after a stall hooks the bar from inside and drags the door back
+    open (observed as a 1.0 <-> 0.5 oscillation). Closing needs no
+    grasp at all — the palm pushes the panel face along its outward
+    normal, which transmits maximal hinge torque and has nothing to
+    hook. The push point sits between the handle and the hinge so the
+    fingers clear the bar.
+    """
 
     behavior = "close"
+
+    def build_phases(self, env):
+        # two passes over the doors: a door whose push stalled out its
+        # budget in pass 1 gets retried in pass 2, while phases for
+        # already-closed doors skip instantly (done fires before act)
+        fx = env.door_fxtr
+        phases = []
+        for _round in range(2):
+            for joint, handle in self._handles(fx):
+                phases.extend(self._door_phases(env, fx, joint, handle))
+        return phases
+
+    def _door_phases(self, env, fx, joint, handle):
+        from lipvq_tpu.robocasa.sim.fixtures import DOOR_RANGE
+
+        lo, hi = DOOR_RANGE
+        front = np.array([math.sin(fx.yaw), -math.cos(fx.yaw), 0.0])
+
+        def frac(e):
+            return (e.get_joint_qpos(joint) - lo) / (hi - lo)
+
+        def hpos(e):
+            return e.geom_xpos(handle) + np.array([0, 0, -0.045])
+
+        def door_normal(e):
+            q = e.get_joint_qpos(joint)
+            axis = e.data.xaxis[e.model.joint(joint).dofadr[0]]
+            ang = q * np.sign(axis[2])
+            c, s = math.cos(ang), math.sin(ang)
+            return np.array(
+                [c * front[0] - s * front[1], s * front[0] + c * front[1], 0.0]
+            )
+
+        def push_pt(e, press=0.015):
+            # panel-face point between handle and hinge, pressed
+            # slightly through the surface so the servo keeps force on
+            n = door_normal(e)
+            h = hpos(e)
+            anchor = e.data.xanchor[e.model.joint(joint).dofadr[0]]
+            lat = anchor - h
+            lat -= n * np.dot(n, lat)
+            lat[2] = 0.0
+            nl = np.linalg.norm(lat)
+            if nl > 1e-6:
+                lat = lat / nl
+            # project the bar center back onto the panel plane
+            p0 = h - n * np.dot(h - anchor, n)
+            return p0 + lat * 0.10 - n * press
+
+        def approach_pt(e, dist):
+            # approach biased toward the fixture front (the aisle): a
+            # pure-normal approach walks into the wall when a wide-open
+            # door's outer face points at it, and puts the wrist onto
+            # the panel where it deadlocks the push
+            n = door_normal(e) + 1.6 * front
+            n = n / max(np.linalg.norm(n), 1e-6)
+            return push_pt(e, press=0.0) + n * dist
+
+        def done(e):
+            return frac(e) < 0.02
+
+        push_state = {"last": None, "stall": 0, "creep": 0}
+
+        def push(e):
+            tgt = push_pt(e)
+            f = frac(e)
+            if push_state["last"] is not None and \
+                    push_state["last"] - f < 5e-5:
+                push_state["stall"] += 1
+            else:
+                push_state["stall"] = 0
+            push_state["last"] = f
+            if push_state["stall"] > 25:
+                # no closing progress: the arm is at its lateral stop
+                # (the gantry saturates at +-0.75 and the eef silently
+                # freezes mid-push) — walk the base to a fresh vantage
+                push_state["creep"] = 20
+                push_state["stall"] = 0
+            # re-position the base when the panel rotates out of reach
+            # or a stall was just detected
+            if (np.linalg.norm(e.eef_pos()[:2] - tgt[:2]) > 0.30
+                    or push_state["creep"] > 0):
+                push_state["creep"] = max(0, push_state["creep"] - 1)
+                stand = push_pt(e, press=-0.5)
+                return base_action(e, stand[:2], _base_yaw(e), grip=1.0)
+            return arm_action(e, tgt, grip=1.0, gain=0.5)
+
+        # stand facing the OPEN door's outer face (the fixture-frame
+        # handle offset is wrong once the panel has swung out 90°)
+        _, stand_ori = env.compute_robot_base_placement_pose(fx)
+        stand_pos = push_pt(env, press=-0.55)
+
+        def dfront(e):
+            b = e.data.body("robot0_base").xpos[:2]
+            return float(np.dot(b - stand_pos[:2], front[:2]))
+
+        def stand_done(e):
+            b = e.data.body("robot0_base").xpos
+            return np.linalg.norm(b[:2] - stand_pos[:2]) < 0.08
+
+        def tuck_tgt(e):
+            b = e.data.body("robot0_base").xpos
+            yaw = _base_yaw(e)
+            fwd = np.array([math.sin(yaw), -math.cos(yaw), 0.0])
+            return b + fwd * 0.30 + np.array([0.0, 0.0, 1.05 - b[2]])
+
+        def tuck_done(e):
+            return np.linalg.norm(e.eef_pos() - tuck_tgt(e)) < 0.06
+
+        def out_act(e):
+            # leg 1: back straight out into the aisle (driving the
+            # direct diagonal hugs the counter fronts and wedges)
+            b = e.data.body("robot0_base").xpos[:2]
+            return base_action(e, b + front[:2] * 0.3, stand_ori[2], grip=1.0)
+
+        def along_act(e):
+            # leg 2: drive parallel to the run at aisle distance
+            return base_action(e, stand_pos[:2] + front[:2] * 0.40,
+                               stand_ori[2], grip=1.0)
+
+        def along_done(e):
+            b = e.data.body("robot0_base").xpos[:2]
+            return np.linalg.norm(b - (stand_pos[:2] + front[:2] * 0.40)) < 0.12
+
+        def D(fn):
+            # every phase of this door's group skips once the door is
+            # shut (lets the pass-2 retry groups no-op on closed doors)
+            return lambda e: done(e) or fn(e)
+
+        return [
+            # tuck between doors so the diagonal move to the next
+            # panel's outside doesn't sweep the arm through this one
+            Phase(lambda e: arm_action(e, tuck_tgt(e), grip=1.0, gain=0.8),
+                  D(tuck_done), budget=30, name="tuck"),
+            # travel legs self-skip when the vantage is already close
+            # (first door / single door): only a genuine relocation
+            # needs the aisle route
+            Phase(out_act,
+                  D(lambda e: _near_stand(e, stand_pos, 0.50)
+                    or dfront(e) > 0.35),
+                  budget=35, name="out"),
+            Phase(along_act,
+                  D(lambda e: _near_stand(e, stand_pos, 0.50)
+                    or along_done(e)),
+                  budget=70, name="along"),
+            Phase(lambda e: base_action(e, stand_pos[:2], stand_ori[2],
+                                        grip=1.0),
+                  D(stand_done), budget=70, name="stand"),
+            # swing wide first so the palm clears the panel's free edge,
+            # then come in along the outward normal
+            Phase(_track(lambda e: approach_pt(e, 0.28), grip=1.0),
+                  D(lambda e: np.linalg.norm(
+                      e.eef_pos() - approach_pt(e, 0.28)) < 0.04),
+                  budget=120, name=f"preapproach:{handle}"),
+            Phase(_track(lambda e: approach_pt(e, 0.12), grip=1.0),
+                  D(lambda e: np.linalg.norm(
+                      e.eef_pos() - approach_pt(e, 0.12)) < 0.02),
+                  budget=140, name=f"approach:{handle}"),
+            Phase(push, done, budget=260, name="push"),
+            Phase(lambda e: arm_action(e, e.eef_pos() + front * 0.10,
+                                       grip=1.0, gain=0.6),
+                  lambda e: False, budget=10, name="release"),
+        ]
 
 
 # ===================== Sink faucet ====================================

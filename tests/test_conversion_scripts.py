@@ -149,7 +149,7 @@ def test_add_absolute_actions_kitchen(tmp_path):
         add_absolute_actions,
     )
 
-    env = create_env("CloseDrawer", seed=5)
+    env = create_env("CloseDrawer", seed=3)
     rng = np.random.default_rng(0)
     traj, success = collect_demo(
         env, None, 150, rng,
