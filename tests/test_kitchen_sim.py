@@ -170,3 +170,32 @@ def test_placement_no_overlap():
                 continue  # different shelves/fixtures
             assert np.linalg.norm(pa[:2] - pb[:2]) > 0.5 * (ra + rb), (a, b)
     env.close()
+
+
+def test_same_seed_bit_identical():
+    """Same-seed kitchen construction + expert rollout is bit-identical
+    (create_env must forward the seed to kitchen envs: an unseeded
+    scene made every 'seeded' expert matrix unreproducible)."""
+    from lipvq_tpu.robocasa.env_utils import create_env
+    from lipvq_tpu.robocasa.sim.scripted import make_scripted_policy
+
+    def run(steps=30):
+        env = create_env("OpenDrawer", seed=7)
+        env.reset()
+        pol = make_scripted_policy("OpenDrawer", env)
+        k = env.env
+        q0 = k.data.qpos.copy()
+        acts = []
+        for _ in range(steps):
+            a = pol.get_action()
+            acts.append(np.asarray(a).copy())
+            env.step(a)
+        qf = k.data.qpos.copy()
+        env.close()
+        return q0, np.stack(acts), qf
+
+    q0a, acts_a, qfa = run()
+    q0b, acts_b, qfb = run()
+    np.testing.assert_array_equal(q0a, q0b)
+    np.testing.assert_array_equal(acts_a, acts_b)
+    np.testing.assert_array_equal(qfa, qfb)
