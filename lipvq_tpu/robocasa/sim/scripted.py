@@ -196,18 +196,18 @@ class OpenDrawerPolicy(ScriptedPolicy):
 
     @staticmethod
     def _pull_act(front, bar, wy):
-        state = {"t": 0}
-
         def act(e):
-            state["t"] += 1
             base = e.data.body("robot0_base").xpos
-            # arm-pull while the arm still has retraction room; once the
-            # eef nears the base (arm_y local > -0.3), creep the base
-            # back — interleaved with arm re-seating steps so the hook
-            # stays on the bar (a pure base drag yanks it off)
+            # arm-pull while the arm still has retraction room; once
+            # the eef nears the base (arm_y local > -0.3, observable as
+            # robot0_base_to_eef_pos), creep the base back with a small
+            # hysteresis band. The switch is a pure function of the
+            # observation — an earlier variant interleaved arm/base on
+            # a hidden step counter (t % 3), which BC policies cannot
+            # imitate from obs and which poisoned drawer corpora.
             eef_local_y = _world_to_armlocal(e, e.eef_pos() - base)[1]
             grab = bar(e) + front * 0.02 + np.array([0, 0, 0.005])
-            if eef_local_y > -0.30 and state["t"] % 3 != 0:
+            if eef_local_y > -0.33:
                 a = base_action(
                     e, base[:2] + front[:2] * 0.20, _base_yaw(e), grip=1.0
                 )

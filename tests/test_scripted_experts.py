@@ -44,8 +44,10 @@ RELIABLE = {
     "CoffeePressButton": (0,),
     "TurnOnSinkFaucet": (0,),
     "TurnOffSinkFaucet": (0,),
-    "OpenSingleDoor": (0,),
-    "CloseSingleDoor": (1,),
+    "OpenSingleDoor": (0, 1),
+    "CloseSingleDoor": (0, 1),
+    "OpenDoubleDoor": (0,),
+    "CloseDoubleDoor": (0,),
     "TurnSinkSpout": (0,),
     "TurnOnStove": (0,),
     "TurnOffStove": (1,),
