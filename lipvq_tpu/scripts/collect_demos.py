@@ -32,7 +32,13 @@ def scripted_policy(obs: dict, rng) -> np.ndarray:
     return np.clip(a, -1, 1)
 
 
-def collect_demo(env, policy_fn, max_steps: int, rng, policy_factory=None):
+def collect_demo(env, policy_fn, max_steps: int, rng, policy_factory=None,
+                 action_noise: float = 0.0):
+    """``action_noise`` > 0 enables DART-style noise injection: the
+    recorded label is the expert's clean action while the EXECUTED
+    action is perturbed, so the corpus covers the off-path states a BC
+    policy will drift into (deterministic scripted experts otherwise
+    produce zero recovery coverage)."""
     obs = env.reset()
     # per-episode experts (kitchen scripted policies) rebuild their
     # waypoint phases from the fresh episode's fixtures
@@ -45,11 +51,21 @@ def collect_demo(env, policy_fn, max_steps: int, rng, policy_factory=None):
     traj = {"obs": [], "actions": [], "rewards": [], "dones": [],
             "states": [], "lang": getattr(env, "ep_lang_str", None)}
     for t in range(max_steps):
-        a = policy_fn(obs, rng)
+        a = np.asarray(policy_fn(obs, rng), dtype=float)
         state = env.get_state()
         traj["obs"].append(obs)
         traj["states"].append(state)
-        obs, r, done, info = env.step(a)
+        exec_a = a
+        if action_noise > 0.0:
+            exec_a = np.clip(
+                a + rng.normal(0.0, action_noise, size=a.shape), -1.0, 1.0
+            )
+            # keep the discrete channels crisp (grip sign, base-mode
+            # flag): noise there flips modes rather than perturbing
+            exec_a[6] = a[6]
+            if a.shape[0] > 11:
+                exec_a[11] = a[11]
+        obs, r, done, info = env.step(exec_a)
         traj["actions"].append(a)
         traj["rewards"].append(r)
         success = info.get("is_success", {}).get("task", False)

@@ -25,7 +25,7 @@ import numpy as np
 def collect_task(task: str, output_path: str, n_demos: int, max_steps: int,
                  seed: int, with_action_dict: bool = True,
                  attempts_per_demo: int = 6, layout_ids=None,
-                 style_ids=None) -> dict:
+                 style_ids=None, action_noise: float = 0.0) -> dict:
     from lipvq_tpu.robocasa.env_utils import create_env
     from lipvq_tpu.robocasa.sim.scripted import make_scripted_policy
     from lipvq_tpu.scripts.collect_demos import collect_demo, write_demos
@@ -39,6 +39,7 @@ def collect_task(task: str, output_path: str, n_demos: int, max_steps: int,
         traj, success = collect_demo(
             env, None, max_steps, rng,
             policy_factory=lambda e: make_scripted_policy(task, e),
+            action_noise=action_noise,
         )
         if not success:
             continue
@@ -73,6 +74,8 @@ def main():
     parser.add_argument("--layout_ids", type=int, default=None,
                         help="fix the layout (reference layout ids)")
     parser.add_argument("--style_ids", type=int, default=None)
+    parser.add_argument("--action_noise", type=float, default=0.0,
+                        help="DART-style exec noise (labels stay clean)")
     args = parser.parse_args()
 
     tasks = args.tasks or sorted(TASK_POLICIES)
@@ -82,7 +85,8 @@ def main():
         path = os.path.join(args.output_dir, f"{task}.hdf5")
         stats = collect_task(task, path, args.n_demos, args.max_steps,
                              args.seed, layout_ids=args.layout_ids,
-                             style_ids=args.style_ids)
+                             style_ids=args.style_ids,
+                             action_noise=args.action_noise)
         manifest.append(stats)
         print(f"{task}: {stats['demos']}/{args.n_demos} demos "
               f"({stats['attempts']} attempts)")
