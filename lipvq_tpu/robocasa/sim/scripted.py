@@ -850,6 +850,28 @@ class StoveKnobPolicy(ScriptedPolicy):
 # ===================== PnP ============================================
 
 
+def _out_low_pt(e, dest_fn, state):
+    """Point in front of a high destination at the eef's current
+    height (captured at phase entry)."""
+    if state["z"] is None:
+        state["z"] = float(e.eef_pos()[2])
+    d = dest_fn(e)
+    b = e.data.body("robot0_base").xpos
+    v = b[:2] - d[:2]
+    v = v / max(np.linalg.norm(v), 1e-6)
+    return np.array([d[0] + v[0] * 0.38, d[1] + v[1] * 0.38, state["z"]])
+
+
+def _shelf_stage_pt(e, dest_fn):
+    """Level staging point in front of a high destination (toward the
+    robot base), used before sliding into a shelf."""
+    d = dest_fn(e)
+    b = e.data.body("robot0_base").xpos
+    v = b[:2] - d[:2]
+    v = v / max(np.linalg.norm(v), 1e-6)
+    return np.array([d[0] + v[0] * 0.25, d[1] + v[1] * 0.25, d[2] + 0.02])
+
+
 def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
                       carry_gain=0.3, name=""):
     """Reusable straddle-grasp pick-and-place phase list: approach
@@ -867,6 +889,26 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
             or e.check_contact("robot0_rightfinger_geom", f"{obj_name}_")
         )
 
+    def pinched(e):
+        # a real pinch: BOTH fingers touching, not a one-sided shove
+        q = e.get_joint_qpos("robot0_leftfinger_joint")
+        return 0.004 < q < 0.039 and (
+            e.check_contact("robot0_leftfinger_geom", f"{obj_name}_")
+            and e.check_contact("robot0_rightfinger_geom", f"{obj_name}_")
+        )
+
+    grasp_state = {"pinch": 0, "held": 0}
+
+    def grasp_done(e):
+        # first touch satisfies `held` before the servo has built any
+        # clamping force — lifting then drops cylinders (cans slid out
+        # of the RestockPantry grasp). Prefer a sustained two-finger
+        # pinch; fall back to sustained one-finger hold for shapes
+        # where the second contact never registers.
+        grasp_state["pinch"] = grasp_state["pinch"] + 1 if pinched(e) else 0
+        grasp_state["held"] = grasp_state["held"] + 1 if held(e) else 0
+        return grasp_state["pinch"] >= 5 or grasp_state["held"] >= 12
+
     def above(e):
         return opos(e) + np.array([0, 0, 0.18])
 
@@ -876,6 +918,7 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         return opos(e) + np.array([0, 0, gz])
 
     lift_state = {"z": None}
+    out_state = {"z": None}
 
     def lift_act(e):
         if lift_state["z"] is None:
@@ -887,8 +930,31 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         return (lift_state["z"] is not None
                 and e.eef_pos()[2] > lift_state["z"] - 0.02)
 
+    def torso_cmd(direction, grip):
+        def act(e):
+            a = np.zeros(12)
+            a[11] = 1.0
+            a[10] = direction
+            a[6] = grip
+            return a
+        return act
+
+    def torso_up_done(e):
+        # the arm gantry tops out ~1.29m with the torso neutral; high
+        # destinations (upper-cabinet shelves) need the torso lift
+        need = dest_fn(e)[2] - 1.22
+        return e.get_joint_qpos("robot0_torso_joint") >= min(0.43,
+                                                            max(0.0, need))
+
+    def torso_neutral_done(e):
+        return e.get_joint_qpos("robot0_torso_joint") <= 0.02
+
     tag = name or obj_name
     return [
+        # neutral torso first: a raised torso shifts the whole arm z
+        # range up and counter-height objects fall out of reach
+        Phase(torso_cmd(-1.0, grip=-1.0), torso_neutral_done,
+              budget=50, name=f"torso_down:{tag}"),
         Phase(_track(above, grip=-1.0),
               lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
               budget=260, name=f"above:{tag}"),
@@ -896,10 +962,29 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
               lambda e: np.linalg.norm(e.eef_pos() - at_obj(e)) < 0.015,
               budget=140, name=f"descend:{tag}"),
         Phase(lambda e: arm_action(e, at_obj(e), grip=1.0),
-              held, budget=40, name=f"grasp:{tag}"),
+              grasp_done, budget=40, name=f"grasp:{tag}"),
         # fixed lift target captured at phase entry (a target that
         # tracks the held object chases itself upward)
         Phase(lift_act, lift_done, budget=80, name=f"lift:{tag}"),
+        # pull the held object clear of overhanging fixtures (open
+        # cabinet doors) at constant height BEFORE the torso ascent —
+        # ascending in place clips the door panel and knocks the
+        # object out of the grip
+        Phase(lambda e: arm_action(e, _out_low_pt(e, dest_fn, out_state),
+                                   grip=1.0, gain=0.18),
+              lambda e: dest_fn(e)[2] < 1.30 or np.linalg.norm(
+                  e.eef_pos() - _out_low_pt(e, dest_fn, out_state)) < 0.05,
+              budget=130, name=f"clear:{tag}"),
+        Phase(torso_cmd(1.0, grip=1.0), torso_up_done,
+              budget=60, name=f"torso_up:{tag}"),
+        # high (shelf) destinations: reach shelf height OUTSIDE first,
+        # then slide in level — a diagonal carry from below drives the
+        # held object into the cabinet's bottom front edge and jams
+        Phase(lambda e: arm_action(e, _shelf_stage_pt(e, dest_fn),
+                                   grip=1.0, gain=0.4),
+              lambda e: dest_fn(e)[2] < 1.30 or np.linalg.norm(
+                  e.eef_pos() - _shelf_stage_pt(e, dest_fn)) < 0.05,
+              budget=150, name=f"stage:{tag}"),
         # converge in 3D before releasing: dropping from height
         # bounces/rolls cylindrical objects off their receptacle
         Phase(lambda e: arm_action(e, dest_fn(e), grip=1.0,
@@ -1026,12 +1111,20 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
     (arrange_vegetables.py:96-110)."""
 
     def build_phases(self, env):
-        def board_dest(e):
-            return e.object_pos("cutting_board") + np.array([0, 0, 0.10])
+        def board_dest(dx):
+            # one slot per vegetable: aiming both at the board center
+            # makes the second carry sweep through the first vegetable
+            # and knock it off the board
+            def f(e):
+                return e.object_pos("cutting_board") + np.array(
+                    [dx, 0, 0.10]
+                )
+            return f
 
         phases = []
-        for name in ("vegetable1", "vegetable2"):
-            phases += pick_place_phases(name, board_dest, carry_gain=0.25)
+        for name, dx in (("vegetable1", -0.05), ("vegetable2", 0.05)):
+            phases += pick_place_phases(name, board_dest(dx),
+                                        carry_gain=0.25)
         return phases
 
 
@@ -1041,16 +1134,33 @@ class RestockPantryPolicy(ScriptedPolicy):
     cab_obj2)."""
 
     def build_phases(self, env):
-        def dest(e):
-            anchor_pos = e.object_pos("cab_obj1")
-            other = e.object_pos("cab_obj2")
-            away = anchor_pos - other
-            away = away / max(np.linalg.norm(away[:2]), 1e-6)
-            return anchor_pos + np.array([away[0], away[1], 0]) * 0.10 +                 np.array([0, 0, 0.18])
+        def dest(k):
+            # one slot per can on cab_obj1's far side from cab_obj2
+            # (the success ratio needs each can 2x closer to cab_obj1;
+            # sharing one slot lets the second carry knock the first
+            # can off the shelf)
+            def f(e):
+                anchor_pos = e.object_pos("cab_obj1")
+                other = e.object_pos("cab_obj2")
+                away = anchor_pos - other
+                away = away / max(np.linalg.norm(away[:2]), 1e-6)
+                away[2] = 0.0
+                # the 2x-closer success ratio confines both cans to an
+                # ~8cm disc on cab_obj1's far side from cab_obj2: can 1
+                # takes the pure far-side slot, can 2 sits beside it
+                # toward the robot (so carry #2 approaches from the
+                # front and never sweeps slot 1)
+                b = e.data.body("robot0_base").xpos
+                side = np.array([-away[1], away[0], 0.0])
+                if np.dot(side[:2], b[:2] - anchor_pos[:2]) < 0:
+                    side = -side
+                off = away * 0.068 if k == 0 else away * 0.055 + side * 0.068
+                return anchor_pos + off + np.array([0, 0, 0.12])
+            return f
 
         phases = []
-        for name in ("obj1", "obj2"):
-            phases += pick_place_phases(name, dest, carry_gain=0.25)
+        for i, name in enumerate(("obj1", "obj2")):
+            phases += pick_place_phases(name, dest(i), carry_gain=0.25)
         return phases
 
 
