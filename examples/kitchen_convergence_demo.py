@@ -46,10 +46,10 @@ def main():
 
     d = icl_test_config_overrides()
     d["train"].update({"data": data, "num_epochs": args.epochs,
-                       "batch_size": 16, "output_dir": args.out})
+                       "batch_size": 64, "output_dir": args.out})
     d["experiment"].update({
-        "epoch_every_n_steps": 50,
-        "rollout": {"enabled": True, "n": 4, "horizon": 120,
+        "epoch_every_n_steps": 200,
+        "rollout": {"enabled": True, "n": 3, "horizon": 250,
                     "rate": max(args.epochs // 6, 1)},
         "save": {"enabled": True, "every_n_epochs": args.epochs},
         "validate": False,
@@ -58,6 +58,17 @@ def main():
                                      "num_heads": 4})
     d["algo"]["optim_params"] = {"policy": {"learning_rate": {
         "initial": 1e-3, "scheduler_type": "none"}}}
+    # the smoke-test override uses a 32-code debug codebook — far too
+    # coarse for manipulation (obs quantization blurs the
+    # approach/grasp/pull phase distinctions); use the paper scale
+    d["algo"]["vq"] = {"num_codes": 512}
+    # mobile-base tasks need the base proprio: the pull-phase arm/base
+    # switch keys on base-to-eef retraction
+    d["observation"]["modalities"]["obs"]["low_dim"] = [
+        "robot0_base_pos", "robot0_base_quat", "robot0_eef_pos",
+        "robot0_eef_quat", "robot0_gripper_qpos",
+        "robot0_base_to_eef_pos", "object", "lang_emb",
+    ]
     cfg = config_factory("icl", d)
     t0 = time.time()
     train(cfg)
