@@ -50,6 +50,10 @@ class FixtureType:
     HOOD = 14
     OVEN = 15
     TOASTER = 16
+    STOOL = 17
+    ISLAND = 18
+    COUNTER_NON_CORNER = 19
+    DINING_COUNTER = 20
 
 
 def rot_z(yaw: float) -> np.ndarray:
@@ -1050,6 +1054,58 @@ class Hood(Fixture):
         return body
 
 
+class Stool(Fixture):
+    """Seating stool beside an island / dining counter (reference
+    models/fixtures/accessories.py Stool; used by multi-stage tasks
+    only as a spatial reference, e.g. serve_steak.py:29)."""
+
+    nat_lang = "stool"
+
+    def __init__(self, name, pos, size=(0.38, 0.38, 0.62), yaw=0.0):
+        super().__init__(name, pos, size, yaw)
+
+    def build(self, spec, style):
+        body = self._root(spec)
+        w, d, h = self.size
+        wood = style["cabinet"]
+        self._cyl(body, f"{self.name}_leg", 0.035, (h - 0.04) / 2, [0, 0, (h - 0.04) / 2], wood)
+        self._cyl(body, f"{self.name}_seat", w / 2, 0.02, [0, 0, h - 0.02], style["counter"])
+        return body
+
+    def sample_region(self, env=None, **kwargs):
+        w, d, h = self.size
+        return np.array([0.0, 0.0, h + 0.005]), (w / 2 - 0.02, d / 2 - 0.02)
+
+
+class Toaster(Fixture):
+    """Counter-top toaster (reference models/fixtures/accessories.py
+    Toaster; multi-stage tasks use it as a spatial reference,
+    prepare_toast.py:21)."""
+
+    nat_lang = "toaster"
+
+    def __init__(self, name, pos, size=(0.28, 0.2, 0.2), yaw=0.0):
+        super().__init__(name, pos, size, yaw)
+
+    def build(self, spec, style):
+        body = self._root(spec)
+        w, d, h = self.size
+        col = style["appliance"]
+        self._box(body, f"{self.name}_body", [w / 2, d / 2, h / 2], [0, 0, h / 2], col)
+        # two slot lips on top
+        for i, dx in enumerate((-w / 6, w / 6)):
+            self._box(body, f"{self.name}_slot{i}", [w / 2 - 0.03, 0.004, 0.008],
+                      [dx * 0 + 0, dx, h + 0.004], [0.12, 0.12, 0.13, 1])
+        # side lever
+        self._box(body, f"{self.name}_lever", [0.008, 0.02, 0.012],
+                  [w / 2 + 0.008, 0, h * 0.6], style["handle"])
+        return body
+
+    def sample_region(self, env=None, **kwargs):
+        w, d, h = self.size
+        return np.array([0.0, 0.0, h + 0.005]), (0.03, 0.03)
+
+
 class Wall(Fixture):
     nat_lang = "wall"
 
@@ -1090,6 +1146,11 @@ def fixture_is_type(fxtr: Fixture, fixture_id) -> bool:
         FixtureType.FRIDGE: (Fridge,),
         FixtureType.DISHWASHER: (Dishwasher,),
         FixtureType.HOOD: (Hood,),
+        FixtureType.STOOL: (Stool,),
+        FixtureType.TOASTER: (Toaster,),
+        FixtureType.ISLAND: (Counter,),
+        FixtureType.COUNTER_NON_CORNER: (Counter,),
+        FixtureType.DINING_COUNTER: (Counter,),
     }
     classes = table.get(fixture_id)
     if classes is None:
@@ -1099,4 +1160,12 @@ def fixture_is_type(fxtr: Fixture, fixture_id) -> bool:
     if fixture_id == FixtureType.CABINET_TOP:
         # top cabinets sit above counter height (reference fixture.py)
         return fxtr.pos[2] > 1.2
+    if fixture_id in (FixtureType.ISLAND, FixtureType.DINING_COUNTER):
+        # free-standing counters (island / peninsula) double as dining
+        # counters (reference fixture.py island/dining semantics)
+        return getattr(fxtr, "is_island", False)
+    if fixture_id == FixtureType.COUNTER:
+        # plain COUNTER excludes islands only when wall counters exist;
+        # reference tasks that want the island ask for ISLAND explicitly
+        return True
     return True

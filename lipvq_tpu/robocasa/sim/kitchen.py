@@ -47,7 +47,12 @@ from lipvq_tpu.robocasa.sim.fixtures import (
     fixture_is_type,
     rot_z,
 )
-from lipvq_tpu.robocasa.sim.objects import make_object, object_lang, sample_kitchen_object
+from lipvq_tpu.robocasa.sim.objects import (
+    groups_containing,
+    make_object,
+    object_lang,
+    sample_kitchen_object,
+)
 from lipvq_tpu.robocasa.sim.placement import RandomizationError, SequentialCompositeSampler
 from lipvq_tpu.robocasa.sim.robot import ACTION_DIM, RobotController, build_robot
 
@@ -89,12 +94,19 @@ class Kitchen:
         use_camera_obs=False,
         control_freq=20,
         horizon=500,
+        obj_registries=("objaverse",),
         obj_instance_split=None,
         generative_textures=None,
         randomize_cameras=False,
         translucent_robot=False,
         **kwargs,
     ):
+        self.obj_registries = (
+            (obj_registries,) if isinstance(obj_registries, str)
+            else tuple(obj_registries)
+        )
+        self.obj_instance_split = obj_instance_split
+        self.generative_textures = generative_textures
         self.layout_ids = [
             lid for lid in L.unpack_layout_ids(layout_ids)
             if lid not in self.EXCLUDE_LAYOUTS
@@ -263,39 +275,46 @@ class Kitchen:
             xyaxes=[1, 0, 0, 0, 0.45, 0.9],
         )
 
+    def _sample_cfg_object(self, cfg, name):
+        """Sample one object for a cfg dict, honoring the env-level
+        registry/split settings (reference kitchen.py _create_obj)."""
+        saved_obj = (self._ep_meta.get("object_cats") or {}).get(name)
+        if saved_obj is not None:
+            return make_object(saved_obj, name=name)
+        obj = sample_kitchen_object(
+            self.rng,
+            obj_groups=cfg.get("obj_groups", "all"),
+            exclude_obj_groups=cfg.get("exclude_obj_groups"),
+            graspable=cfg.get("graspable"),
+            washable=cfg.get("washable"),
+            microwavable=cfg.get("microwavable"),
+            heatable=cfg.get("heatable"),
+            cookable=cfg.get("cookable"),
+            freezable=cfg.get("freezable"),
+            max_size=cfg.get("max_size", (None, None, None)),
+            obj_registries=self.obj_registries,
+            split=self.obj_instance_split,
+            object_scale=cfg.get("object_scale"),
+        )
+        obj.name = name
+        return obj
+
     def _create_objects(self, spec):
-        """Sample + place task objects (reference kitchen.py:485-589)."""
+        """Sample + place task objects (reference kitchen.py:485-589).
+
+        ``placement["try_to_place_in"]`` nests the object in a sampled
+        container placed per the original cfg (reference
+        kitchen.py:513-547: container gets ``{name}_container`` and the
+        object is re-placed on/in it).
+        """
         self.objects = OrderedDict()
         self._object_cfgs = self._get_obj_cfgs()
         sampler = SequentialCompositeSampler(self.rng)
         saved_placements = self._ep_meta.get("object_placements")
         self._placements = {}
         self._obj_fixture = {}
-        for i, cfg in enumerate(self._object_cfgs):
-            name = cfg["name"]
-            saved_obj = (self._ep_meta.get("object_cats") or {}).get(name)
-            if saved_obj is not None:
-                obj = make_object(saved_obj, name=name)
-            else:
-                obj = sample_kitchen_object(
-                    self.rng,
-                    obj_groups=cfg.get("obj_groups", "all"),
-                    exclude_obj_groups=cfg.get("exclude_obj_groups"),
-                    graspable=cfg.get("graspable"),
-                    washable=cfg.get("washable"),
-                    microwavable=cfg.get("microwavable"),
-                    heatable=cfg.get("heatable"),
-                    freezable=cfg.get("freezable"),
-                    max_size=cfg.get("max_size", (None, None, None)),
-                )
-                obj.name = name
-            placement = dict(cfg.get("placement", {}))
-            fixture = placement.pop("fixture", None)
-            if fixture is None:
-                fixture = self.get_fixture(FixtureType.COUNTER)
-            elif not isinstance(fixture, Fixture):
-                fixture = self.get_fixture(fixture)
-            placement.pop("try_to_place_in", None)
+
+        def place(obj, fixture, placement, name):
             if saved_placements is not None and name in saved_placements:
                 world, yaw = saved_placements[name]
                 world = np.asarray(world)
@@ -312,6 +331,37 @@ class Kitchen:
             obj.build(spec, pos=world, yaw=yaw)
             self.objects[name] = obj
             self._obj_fixture[name] = fixture
+            return world, yaw
+
+        for i, cfg in enumerate(self._object_cfgs):
+            name = cfg["name"]
+            obj = self._sample_cfg_object(cfg, name)
+            placement = dict(cfg.get("placement", {}))
+            fixture = placement.pop("fixture", None)
+            if fixture is None:
+                fixture = self.get_fixture(FixtureType.COUNTER)
+            elif not isinstance(fixture, Fixture):
+                fixture = self.get_fixture(fixture)
+            container_group = placement.pop("try_to_place_in", None)
+            if placement.pop("try_to_place_in_container", None):
+                container_group = placement.pop("container_group", "container")
+            container_kwargs = placement.pop("container_kwargs", None) or {}
+            if container_group and "in_container" in groups_containing(obj.category):
+                cname = f"{name}_container"
+                ccfg = {"name": cname, "obj_groups": container_group}
+                ccfg.update(container_kwargs)
+                container = self._sample_cfg_object(ccfg, cname)
+                cworld, cyaw = place(container, fixture, placement, cname)
+                # the object rides on the container's surface
+                world = np.asarray(cworld) + [0.0, 0.0, container.height + 0.002]
+                self._placements[name] = (world.tolist(), 0.0)
+                if saved_placements is not None and name in saved_placements:
+                    world = np.asarray(saved_placements[name][0])
+                obj.build(spec, pos=world, yaw=0.0)
+                self.objects[name] = obj
+                self._obj_fixture[name] = fixture
+            else:
+                place(obj, fixture, placement, name)
 
     def _get_obj_cfgs(self):
         """Reference kitchen.py:914-925."""
@@ -503,7 +553,7 @@ class Kitchen:
         ep_meta = dict(self._ep_meta)
         ep_meta["layout_id"] = self.layout_id
         ep_meta["style_id"] = self.style_id
-        ep_meta["object_cats"] = {n: o.category for n, o in self.objects.items()}
+        ep_meta["object_cats"] = {n: o.spec_str for n, o in self.objects.items()}
         ep_meta["object_placements"] = dict(self._placements)
         ep_meta["fixture_refs"] = {
             k: v.name for k, v in self.fixture_refs.items()

@@ -33,7 +33,9 @@ from lipvq_tpu.robocasa.sim.fixtures import (
     OpenCabinet,
     SingleCabinet,
     Sink,
+    Stool,
     Stove,
+    Toaster,
     Wall,
     rot_z,
 )
@@ -245,8 +247,32 @@ def _room(fixtures, width, depth, style_unused=None):
 
 def _island(fixtures, x, y, w=1.6, d=0.9):
     isl = Counter("island", [x, y, 0], (w, d, CTR_H), yaw=math.pi)
+    isl.is_island = True
     fixtures.append(isl)
+    _stools(fixtures, isl)
     return isl
+
+
+def _stools(fixtures, counter, n=2):
+    """Two stools on the counter's front (seating) side — dining
+    layouts put seating at islands/peninsulas (reference layout YAMLs
+    with stool fixtures; tasks reference them via FixtureType.STOOL)."""
+    for i in range(n):
+        dx = (i - (n - 1) / 2) * 0.55
+        pos = counter.to_world([dx, -counter.depth / 2 - 0.28, 0.0])
+        pos[2] = 0.0
+        fixtures.append(
+            Stool(f"{counter.name}_stool_{i + 1}", pos, yaw=counter.yaw)
+        )
+
+
+def _toaster(fixtures, counters):
+    """Toaster on the second-widest counter, off-center (reference
+    layouts place it as a counter accessory)."""
+    ranked = sorted(counters, key=lambda c: -c.width)
+    counter = ranked[1] if len(ranked) > 1 else ranked[0]
+    pos = counter.to_world([-counter.width / 2 + 0.22, 0.12, counter.height])
+    fixtures.append(Toaster("toaster", pos, yaw=counter.yaw))
 
 
 def _one_wall(length, island):
@@ -258,6 +284,7 @@ def _one_wall(length, island):
     _top_standard(run, stove)
     counters = [f for f in fixtures if type(f) is Counter]
     _coffee_machine(fixtures, counters)
+    _toaster(fixtures, counters)
     if island:
         _island(fixtures, length / 2, -1.9)
     return fixtures
@@ -289,6 +316,7 @@ def _l_shaped(length, island):
     run2.add_top(SingleCabinet, 0.5)
     counters = [f for f in fixtures if type(f) is Counter]
     _coffee_machine(fixtures, counters)
+    _toaster(fixtures, counters)
     if island:
         _island(fixtures, length / 2 + 0.6, -2.4)
     return fixtures
@@ -312,6 +340,7 @@ def _galley(length):
     run2.add_top(OpenCabinet, 0.7, num_shelves=2)
     counters = [f for f in fixtures if type(f) is Counter]
     _coffee_machine(fixtures, counters)
+    _toaster(fixtures, counters)
     return fixtures
 
 
@@ -333,7 +362,9 @@ def _g_shaped(length, island):
     fixtures = _u_shaped(length, island=False)
     # peninsula off the right wall
     pen = Counter("peninsula", [length - 1.9, -2.8, 0], (1.4, 0.65, CTR_H), yaw=math.pi)
+    pen.is_island = True
     fixtures.append(pen)
+    _stools(fixtures, pen)
     if island:
         _island(fixtures, length / 2 - 0.6, -2.2, w=1.4)
     return fixtures

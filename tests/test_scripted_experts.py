@@ -38,7 +38,7 @@ def rollout_expert(task, seed, max_steps=900):
 RELIABLE = {
     "NavigateKitchen": (0, 1),
     "OpenDrawer": (0, 1),
-    "CloseDrawer": (0, 1),
+    "CloseDrawer": (0, 2),
     "TurnOnMicrowave": (0,),
     "TurnOffMicrowave": (0,),
     "CoffeePressButton": (0,),
@@ -53,7 +53,7 @@ RELIABLE = {
     "TurnOffStove": (1,),
     "PnPCounterToSink": (1,),
     "PnPSinkToCounter": (0,),
-    "ArrangeVegetables": (0,),
+    "ArrangeVegetables": (3,),
 }
 
 
