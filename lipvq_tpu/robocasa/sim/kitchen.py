@@ -288,7 +288,11 @@ class Kitchen:
             graspable=cfg.get("graspable"),
             washable=cfg.get("washable"),
             microwavable=cfg.get("microwavable"),
-            heatable=cfg.get("heatable"),
+            # NOTE: a "heatable" cfg key is deliberately NOT consulted —
+            # the reference engine reads only "cookable"
+            # (kitchen.py:579), silently ignoring the heatable=True
+            # flags some of its own task specs pass
+            # (e.g. heat_multiple_water.py:37).
             cookable=cfg.get("cookable"),
             freezable=cfg.get("freezable"),
             max_size=cfg.get("max_size", (None, None, None)),
@@ -661,6 +665,31 @@ def gripper_obj_far(env, obj_name="obj", th=0.25):
     """Reference object_utils.py:349-356."""
     opos = env.object_pos(obj_name)
     return bool(np.linalg.norm(env.eef_pos() - opos) > th)
+
+
+def obj_location_on_stove(env, obj_name, stove, threshold=0.08, require_on=True):
+    """Burner location an object sits on, or None.
+
+    Mirrors the `_check_obj_location_on_stove` helper the reference
+    repeats across boiling/frying/steaming tasks (e.g.
+    heat_multiple_water.py:94-125): object must contact the stove,
+    be within ``threshold`` of a burner site center and (when
+    ``require_on``) that burner's knob must be turned on.
+    """
+    from lipvq_tpu.robocasa.sim.fixtures import STOVE_LOCATIONS
+
+    knobs = stove.get_knobs_state(env)
+    if not check_obj_fixture_contact(env, obj_name, stove):
+        return None
+    opos = env.object_pos(obj_name)[:2]
+    for loc in STOVE_LOCATIONS:
+        bpos = env.site_xpos(f"{stove.name}_burner_on_{loc}")[:2]
+        if np.linalg.norm(bpos - opos) < threshold:
+            q = knobs[loc]
+            knob_on = 0.35 <= abs(q) <= 2 * math.pi - 0.35
+            if knob_on or not require_on:
+                return loc
+    return None
 
 
 def fixture_pairwise_dist(f1, f2):

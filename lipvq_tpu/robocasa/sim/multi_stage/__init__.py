@@ -1,0 +1,13 @@
+"""Multi-stage (composite) kitchen activities.
+
+One module per activity group, mirroring reference
+robocasa/environments/kitchen/multi_stage/ (20 activity directories,
+82 task classes). Importing this package registers every task class in
+REGISTERED_KITCHEN_ENVS via Kitchen.__init_subclass__.
+"""
+
+from lipvq_tpu.robocasa.sim.multi_stage.baking import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.boiling import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.brewing import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.chopping_food import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.clearing_table import *  # noqa: F401,F403
