@@ -11,3 +11,6 @@ from lipvq_tpu.robocasa.sim.multi_stage.boiling import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.brewing import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.chopping_food import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.clearing_table import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.defrosting_food import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.restocking_supplies import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.washing_dishes import *  # noqa: F401,F403
