@@ -14,3 +14,7 @@ from lipvq_tpu.robocasa.sim.multi_stage.clearing_table import *  # noqa: F401,F4
 from lipvq_tpu.robocasa.sim.multi_stage.defrosting_food import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.restocking_supplies import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.washing_dishes import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.frying import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.making_toast import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.meat_preparation import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.mixing_and_blending import *  # noqa: F401,F403
