@@ -319,6 +319,15 @@ class Kitchen:
         self._obj_fixture = {}
 
         def place(obj, fixture, placement, name):
+            # resolve FixtureType / name refs inside sample_region_kwargs
+            # (reference task cfgs pass e.g. ref=FixtureType.STOOL,
+            # serving_food/pan_transfer.py:79)
+            srk = placement.get("sample_region_kwargs")
+            if srk and not isinstance(srk.get("ref"), (Fixture, type(None))):
+                placement = dict(placement)
+                placement["sample_region_kwargs"] = dict(
+                    srk, ref=self.get_fixture(srk["ref"])
+                )
             if saved_placements is not None and name in saved_placements:
                 world, yaw = saved_placements[name]
                 world = np.asarray(world)

@@ -18,3 +18,6 @@ from lipvq_tpu.robocasa.sim.multi_stage.frying import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.making_toast import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.meat_preparation import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.mixing_and_blending import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.reheating_food import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.sanitize_surface import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.serving_food import *  # noqa: F401,F403
