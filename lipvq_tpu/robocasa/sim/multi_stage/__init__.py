@@ -21,3 +21,8 @@ from lipvq_tpu.robocasa.sim.multi_stage.mixing_and_blending import *  # noqa: F4
 from lipvq_tpu.robocasa.sim.multi_stage.reheating_food import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.sanitize_surface import *  # noqa: F401,F403
 from lipvq_tpu.robocasa.sim.multi_stage.serving_food import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.setting_the_table import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.snack_preparation import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.steaming_food import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.tidying_cabinets_and_drawers import *  # noqa: F401,F403
+from lipvq_tpu.robocasa.sim.multi_stage.washing_fruits_and_vegetables import *  # noqa: F401,F403
