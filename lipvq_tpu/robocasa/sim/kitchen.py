@@ -262,6 +262,22 @@ class Kitchen:
         for fx in self.fixtures.values():
             fx.build(spec, self.style)
 
+        # domain-randomized procedural textures (reference
+        # generative_textures kwarg + utils/texture_swap.py; see
+        # sim/textures.py for the determinism contract)
+        self._texture_params = None
+        if self.generative_textures:
+            from lipvq_tpu.robocasa.sim.textures import (
+                apply_generative_textures,
+                draw_texture_params,
+            )
+
+            saved = self._ep_meta.get("texture_params")
+            self._texture_params = saved or draw_texture_params(
+                self.rng, self.style
+            )
+            apply_generative_textures(spec, self.fixtures, self._texture_params)
+
         build_robot(spec)
         self._add_cameras(spec)
         return spec
@@ -568,6 +584,8 @@ class Kitchen:
         ep_meta["style_id"] = self.style_id
         ep_meta["object_cats"] = {n: o.spec_str for n, o in self.objects.items()}
         ep_meta["object_placements"] = dict(self._placements)
+        if getattr(self, "_texture_params", None):
+            ep_meta["texture_params"] = self._texture_params
         ep_meta["fixture_refs"] = {
             k: v.name for k, v in self.fixture_refs.items()
         }
