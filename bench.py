@@ -36,14 +36,22 @@ def bench_tpu(corpus: np.ndarray, model, variables) -> float:
     x = jnp.asarray(corpus)
     float(tokenize_sum(variables, x))  # compile + warm
     k = 20
-    best = float("inf")
-    for _rep in range(3):  # best-of-3: the dev tunnel adds run variance
+    # >=5 reps with min/median reported so future rounds can gate
+    # regressions against documented variance (the dev tunnel adds
+    # run-to-run noise; see BASELINE.md variance note)
+    times = []
+    for _rep in range(5):
         t0 = time.time()
         for _ in range(k):
             s = tokenize_sum(variables, x)
         float(s)  # fetch once; device executed all k serially
-        best = min(best, (time.time() - t0) / k)
-    return corpus.shape[0] / best
+        times.append((time.time() - t0) / k)
+    n = corpus.shape[0]
+    return {
+        "best": n / min(times),
+        "median": n / statistics.median(times),
+        "worst": n / max(times),
+    }
 
 
 def bench_torch_cpu(corpus: np.ndarray, latent_dim: int, num_codes: int,
@@ -107,8 +115,8 @@ def main():
         v = init_model.init(jax.random.PRNGKey(0), jnp.zeros((128, feature_dim)))
     print("init done", file=sys.stderr)
 
-    tpu_chunks_per_sec = bench_tpu(corpus, model, jax.device_put(v))
-    per_chip = tpu_chunks_per_sec / n_chips
+    stats = bench_tpu(corpus, model, jax.device_put(v))
+    per_chip = stats["best"] / n_chips
     print("tpu bench done", file=sys.stderr)
 
     p = jax.tree.map(np.asarray, v["params"])
@@ -131,6 +139,12 @@ def main():
                 "value": round(per_chip, 1),
                 "unit": "chunks/s",
                 "vs_baseline": round(per_chip / torch_chunks_per_sec, 2),
+                "median": round(stats["median"] / n_chips, 1),
+                "worst": round(stats["worst"] / n_chips, 1),
+                "spread_pct": round(
+                    100 * (stats["best"] - stats["worst"]) / stats["best"], 1
+                ),
+                "reps": 5,
             }
         )
     )

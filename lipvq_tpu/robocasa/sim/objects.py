@@ -122,7 +122,7 @@ OBJ_CATEGORIES = {
     "onion": _c("vegetable", "gwmc", "oa", "sphere", 0.032, 0.064, (0.8, 0.65, 0.4, 1)),
     "orange": _c("fruit", "gw", "oa", "sphere", 0.038, 0.076, (0.95, 0.55, 0.1, 1)),
     "pan": _c("receptacle", "gw", "oa", "pan", 0.1, 0.035, (0.25, 0.25, 0.28, 1)),
-    "pot": _c("receptacle", "gw", "oa", "cylinder", 0.085, 0.09, (0.55, 0.55, 0.6, 1)),
+    "pot": _c("receptacle", "gw", "oa", "pot", 0.085, 0.09, (0.55, 0.55, 0.6, 1)),
     "peach": _c("fruit", "gw", "oa", "sphere", 0.034, 0.068, (0.95, 0.65, 0.45, 1)),
     "pear": _c("fruit", "gw", "oa", "sphere", 0.033, 0.08, (0.75, 0.8, 0.35, 1)),
     "plate": _c("receptacle", "wm", "oa", "plate", 0.09, 0.02, (0.92, 0.92, 0.95, 1)),
@@ -223,7 +223,7 @@ assert len(OBJ_CATEGORIES) == 153, len(OBJ_CATEGORIES)
 
 # shapes that can act as a receptacle for check_obj_in_receptacle /
 # try_to_place_in (a container surface exists)
-_CONTAINER_SHAPES = {"plate", "bowl", "board", "pan", "mug"}
+_CONTAINER_SHAPES = {"plate", "bowl", "board", "pan", "pot", "mug"}
 
 # number of procedural instances per (category, registry) — stands in
 # for the reference's per-category model.xml lists.
@@ -317,6 +317,23 @@ class KitchenObject:
         (stored in ep_meta["object_cats"])."""
         return f"{self.category}:{self.registry}:{self.instance}"
 
+    def _rim(self, body, box, r, wall_h, z0, n=8):
+        """Octagonal rim wall approximating a hollow cylinder: each
+        segment is a thin box tangent to the radius-r circle."""
+        seg_half = r * math.tan(math.pi / n) * 1.05
+        for i in range(n):
+            ang = 2 * math.pi * i / n
+            cx, cy = r * math.cos(ang), r * math.sin(ang)
+            g = body.add_geom(
+                name=f"{self.name}_rim{i}",
+                type=mujoco.mjtGeom.mjGEOM_BOX,
+                size=[0.005, seg_half, wall_h / 2],
+                pos=[cx, cy, z0 + wall_h / 2],
+                rgba=list(self.rgba),
+            )
+            g.density = 300.0
+            g.quat = [math.cos(ang / 2), 0, 0, math.sin(ang / 2)]
+
     def build(self, spec, pos, yaw=0.0):
         """Add a free body for this object to the MjSpec."""
         body = spec.worldbody.add_body(name=self.name, pos=list(pos))
@@ -360,8 +377,16 @@ class KitchenObject:
         elif self.shape == "bowl":
             cyl(f"{self.name}_g0", r, h / 2, [0, 0, h / 2])
         elif self.shape == "pan":
-            cyl(f"{self.name}_g0", r, h / 2, [0, 0, h / 2])
+            # hollow: base disc + rim wall segments — the rim gives the
+            # gripper a pinchable 1cm wall and food sits inside
+            cyl(f"{self.name}_g0", r, 0.006, [0, 0, 0.006])
+            self._rim(body, box, r, wall_h=max(h - 0.012, 0.015),
+                      z0=0.012, n=8)
             box(f"{self.name}_handle", [0.075, 0.012, 0.008], [r + 0.07, 0, h - 0.008])
+        elif self.shape == "pot":
+            cyl(f"{self.name}_g0", r, 0.008, [0, 0, 0.008])
+            self._rim(body, box, r, wall_h=max(h - 0.016, 0.03),
+                      z0=0.016, n=8)
         elif self.shape == "knife":
             box(f"{self.name}_blade", [0.07, 0.012, 0.004], [0.03, 0, 0.006],
                 [0.75, 0.75, 0.78, 1])

@@ -873,7 +873,10 @@ def _shelf_stage_pt(e, dest_fn):
 
 
 def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
-                      carry_gain=0.3, name=""):
+                      carry_gain=0.3, name="", above_dz=0.18,
+                      skip_torso_down=False, grasp_pt_fn=None,
+                      wrist_yaw=None, withdraw_fn=None,
+                      torso_down_mid=False, stage_fn=None):
     """Reusable straddle-grasp pick-and-place phase list: approach
     above the object, descend, close until held, lift to a fixed
     height, carry over ``dest_fn(env)``, release, rise, back off
@@ -910,9 +913,14 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         return grasp_state["pinch"] >= 5 or grasp_state["held"] >= 12
 
     def above(e):
-        return opos(e) + np.array([0, 0, 0.18])
+        # legacy straddle approach hovers over the object CENTER;
+        # custom grasp points (rim/handle) hover over the grasp point
+        base_pt = opos(e) if grasp_pt_fn is None else grasp_pt_fn(e)
+        return base_pt + np.array([0, 0, above_dz])
 
     def at_obj(e):
+        if grasp_pt_fn is not None:
+            return grasp_pt_fn(e)
         obj = e.objects[obj_name]
         gz = max(obj.height * 0.5, 0.02) + grasp_dz
         return opos(e) + np.array([0, 0, gz])
@@ -950,22 +958,35 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         return e.get_joint_qpos("robot0_torso_joint") <= 0.02
 
     tag = name or obj_name
-    return [
+    torso_down = [] if skip_torso_down else [
         # neutral torso first: a raised torso shifts the whole arm z
         # range up and counter-height objects fall out of reach
         Phase(torso_cmd(-1.0, grip=-1.0), torso_neutral_done,
               budget=50, name=f"torso_down:{tag}"),
-        Phase(_track(above, grip=-1.0),
+    ]
+    return torso_down + [
+        Phase(_track(above, grip=-1.0, wrist_yaw=wrist_yaw),
               lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
               budget=260, name=f"above:{tag}"),
-        Phase(_track(at_obj, grip=-1.0, gain=0.5),
+        Phase(_track(at_obj, grip=-1.0, gain=0.5, wrist_yaw=wrist_yaw),
               lambda e: np.linalg.norm(e.eef_pos() - at_obj(e)) < 0.015,
               budget=140, name=f"descend:{tag}"),
-        Phase(lambda e: arm_action(e, at_obj(e), grip=1.0),
+        Phase(lambda e: arm_action(e, at_obj(e), grip=1.0,
+                                   wrist_yaw=wrist_yaw),
               grasp_done, budget=40, name=f"grasp:{tag}"),
         # fixed lift target captured at phase entry (a target that
         # tracks the held object chases itself upward)
         Phase(lift_act, lift_done, budget=80, name=f"lift:{tag}"),
+    ] + ([] if withdraw_fn is None else [
+        # high-source tasks: pull straight out of the shelf/cavity at
+        # constant height before any vertical travel
+        Phase(lambda e: arm_action(e, withdraw_fn(e), grip=1.0, gain=0.2),
+              lambda e: np.linalg.norm(e.eef_pos() - withdraw_fn(e)) < 0.05,
+              budget=150, name=f"withdraw:{tag}"),
+    ]) + ([] if not torso_down_mid else [
+        Phase(torso_cmd(-1.0, grip=1.0), torso_neutral_done,
+              budget=60, name=f"torso_down_mid:{tag}"),
+    ]) + [
         # pull the held object clear of overhanging fixtures (open
         # cabinet doors) at constant height BEFORE the torso ascent —
         # ascending in place clips the door panel and knocks the
@@ -979,12 +1000,22 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
               budget=60, name=f"torso_up:{tag}"),
         # high (shelf) destinations: reach shelf height OUTSIDE first,
         # then slide in level — a diagonal carry from below drives the
-        # held object into the cabinet's bottom front edge and jams
+        # held object into the cabinet's bottom front edge and jams.
+        # An explicit stage_fn supersedes this (two staging points in
+        # different directions swing the payload loose).
         Phase(lambda e: arm_action(e, _shelf_stage_pt(e, dest_fn),
                                    grip=1.0, gain=0.4),
-              lambda e: dest_fn(e)[2] < 1.30 or np.linalg.norm(
+              lambda e: stage_fn is not None or dest_fn(e)[2] < 1.30
+              or np.linalg.norm(
                   e.eef_pos() - _shelf_stage_pt(e, dest_fn)) < 0.05,
               budget=150, name=f"stage:{tag}"),
+    ] + ([] if stage_fn is None else [
+        # destination staging point (e.g. in front of an overhanging
+        # dispenser head) reached before the final convergence
+        Phase(lambda e: arm_action(e, stage_fn(e), grip=1.0, gain=0.25),
+              lambda e: np.linalg.norm(e.eef_pos() - stage_fn(e)) < 0.04,
+              budget=200, name=f"dest_stage:{tag}"),
+    ]) + [
         # converge in 3D before releasing: dropping from height
         # bounces/rolls cylindrical objects off their receptacle
         Phase(lambda e: arm_action(e, dest_fn(e), grip=1.0,
@@ -1039,12 +1070,18 @@ def _press_button_phases(machine_name, button, front, done, far_check):
     def bpos(e):
         return e.geom_xpos(f"{machine_name}_{button}")
 
+    # wrist neutral: composite tasks reach here with the wrist still
+    # rotated from door phases, which lands the knuckles (not the
+    # fingertips) on the button
     return [
-        Phase(_track(lambda e: bpos(e) + front * 0.10, grip=1.0),
+        Phase(_track(lambda e: bpos(e) + front * 0.10, grip=1.0,
+                     wrist_yaw=0.0),
               lambda e: np.linalg.norm(
-                  e.eef_pos() - (bpos(e) + front * 0.10)) < 0.02,
+                  e.eef_pos() - (bpos(e) + front * 0.10)) < 0.02
+              and abs(e.get_joint_qpos("robot0_wrist_yaw")) < 0.15,
               budget=240, name=f"approach:{button}"),
-        Phase(_track(lambda e: bpos(e) - front * 0.02, grip=1.0, gain=0.5),
+        Phase(_track(lambda e: bpos(e) - front * 0.02, grip=1.0, gain=0.5,
+                     wrist_yaw=0.0),
               done, budget=120, name=f"press:{button}"),
         Phase(_track(lambda e: bpos(e) + front * 0.22, grip=1.0),
               far_check, budget=120, name=f"clear:{button}"),
@@ -1061,8 +1098,18 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
         front = np.array([math.sin(mw.yaw), -math.cos(mw.yaw), 0.0])
 
         def dest(e):
-            c, _ = mw.sample_region()
-            return mw.to_world(c + np.array([0, 0, 0.22])) + front * 0.02
+            # eef height = cavity floor + 0.21: the held food hangs
+            # ~8cm below the grip site, so its bottom clears the
+            # cavity's front lip on the slide in
+            c, half = mw.interior_box()
+            return mw.to_world(
+                np.array([c[0], c[1], c[2] - half[2] + 0.21])
+            )
+
+        def dest_stage(e):
+            # level with the cavity floor, outside the opening: slide
+            # in horizontally (a diagonal entry clips the front frame)
+            return dest(e) + front * 0.42
 
         # order matters: the door starts closed (microwave_thawing.py
         # _reset_internal) -> open it, place the food, shut it, press
@@ -1071,12 +1118,42 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
         phases = opener._door_phases(
             env, mw, f"{mw.name}_microjoint", f"{mw.name}_door_handle"
         )
-        phases += pick_place_phases("obj", dest, carry_gain=0.25)
+        phases += pick_place_phases("obj", dest, carry_gain=0.25,
+                                    stage_fn=dest_stage)
         closer = CloseDoorPolicy.__new__(CloseDoorPolicy)
         closer.behavior = "close"
         phases += closer._door_phases(
             env, mw, f"{mw.name}_microjoint", f"{mw.name}_door_handle"
         )
+        # the microwave interlock needs the door fully seated
+        # (update_state: door > 0.005 forces turned_on False) — the
+        # generic close phases stop at ~0.05; press the panel shut
+        def panel_pt(e):
+            # push at the panel CENTER: pushing near the handle risks
+            # re-hooking it on the way to the button
+            pp = e.geom_xpos(f"{mw.name}_doorpanel")
+            return pp - front * 0.04
+
+        def backoff_pt(e):
+            return e.geom_xpos(f"{mw.name}_doorpanel") + front * 0.20
+
+        phases += [
+            Phase(_track(panel_pt, grip=1.0, gain=0.5),
+                  lambda e: mw.get_door_state(e)["door"] < 0.004,
+                  budget=120, name="seat_door"),
+            Phase(_track(backoff_pt, grip=1.0, gain=0.6),
+                  lambda e: np.linalg.norm(e.eef_pos() - backoff_pt(e))
+                  < 0.04,
+                  budget=60, name="backoff_door"),
+        ]
+        # torso neutral before pressing: with the torso raised the
+        # hand pitches and the wrist (not the fingertips) leads,
+        # bottoming out on the control panel
+        phases += [
+            Phase(_torso_cmd(-1.0, grip=1.0),
+                  lambda e: e.get_joint_qpos("robot0_torso_joint") <= 0.02,
+                  budget=60, name="torso_down:press"),
+        ]
         phases += _press_button_phases(
             mw.name, "start_button", front,
             lambda e: mw.get_state()["turned_on"],
@@ -1094,10 +1171,18 @@ class PrepareCoffeePolicy(ScriptedPolicy):
         front = np.array([math.sin(cm.yaw), -math.cos(cm.yaw), 0.0])
 
         def dest(e):
+            # eef height so the held mug's bottom lands on the platform
             site = e.site_xpos(f"{cm.name}_dispenser")
-            return site + np.array([0, 0, 0.12])
+            h = e.objects["obj"].height
+            plat_z = cm.pos[2] + 0.02
+            return np.array([site[0], site[1], plat_z + 0.6 * h + 0.02])
 
-        phases = pick_place_phases("obj", dest, carry_gain=0.25)
+        def dest_stage(e):
+            d = dest(e)
+            return d + front * 0.22
+
+        phases = pick_place_phases("obj", dest, carry_gain=0.2,
+                                   above_dz=0.14, stage_fn=dest_stage)
         phases += _press_button_phases(
             cm.name, "start_button", front,
             lambda e: cm.get_state()["turned_on"],
@@ -1175,11 +1260,24 @@ class PreSoakPanPolicy(ScriptedPolicy):
             c, _ = sink.sample_region()
             return sink.to_world(c + np.array([0, 0, 0.25]))
 
-        phases = pick_place_phases("obj2", sink_dest, carry_gain=0.25,
-                                   name="sponge")
-        # the pan is wider than the gripper span: grasp its handle bar
+        # grasp_dz=+0.005: pinch the flat sponge near its top edge —
+        # the default bottom-sliver pinch slips out during the lift
+        phases = pick_place_phases("obj2", sink_dest, carry_gain=0.18,
+                                   name="sponge", grasp_dz=0.005)
+        # the pan is hollow (objects.py pan rim): grasp its handle bar
+        # with the fingers closing across it
+        def pan_grasp(e):
+            return e.geom_xpos("obj1_handle") + np.array([0, 0, 0.0])
+
+        o = env.object_pos("obj1")
+        hp = env.geom_xpos("obj1_handle")
+        u = hp[:2] - o[:2]
+        u = u / max(np.linalg.norm(u), 1e-6)
+        perp = np.array([-u[1], u[0]])
         phases += pick_place_phases("obj1", sink_dest, carry_gain=0.2,
-                                    name="pan")
+                                    name="pan", grasp_pt_fn=pan_grasp,
+                                    wrist_yaw=_wrist_yaw_for(env, perp),
+                                    above_dz=0.12)
         faucet = SinkFaucetPolicy.__new__(SinkFaucetPolicy)
         faucet.env = env
 
@@ -1193,6 +1291,233 @@ class PreSoakPanPolicy(ScriptedPolicy):
         env.behavior = "turn_on"
         phases += faucet.build_phases(env)
         return phases
+
+
+class PnPCabinetPolicy(ScriptedPolicy):
+    """Counter<->cabinet pick-and-place (kitchen_pnp.py:24-258): the
+    cabinet doors start open; carry into/out of the shelf interior."""
+
+    def build_phases(self, env):
+        cab = env.cab
+        to_cab = type(env).__name__ == "PnPCounterToCab"
+
+        def cab_dest(e):
+            c, half = cab.interior_box()
+            # drop point just inside the shelf, slightly above the floor
+            return cab.to_world(np.array([c[0], c[1] - half[1] * 0.2,
+                                          c[2] - half[2] + 0.10]))
+
+        def counter_dest(e):
+            counter = e.counter
+            ref = counter.to_local(cab.center)
+            cx = float(np.clip(ref[0], -counter.width / 2 + 0.2,
+                               counter.width / 2 - 0.2))
+            return counter.to_world(
+                np.array([cx, 0.05, counter.height + 0.18])
+            )
+
+        if to_cab:
+            return pick_place_phases("obj", cab_dest, carry_gain=0.25)
+
+        # source is the (high) cabinet shelf: torso up, grasp with a
+        # shallow approach, withdraw straight out of the shelf front,
+        # then lower the torso and carry to the counter
+        front = np.array([math.sin(cab.yaw), -math.cos(cab.yaw), 0.0])
+
+        def withdraw(e):
+            return e.eef_pos() * np.array([0, 0, 1]) + np.array([
+                0, 0, 0]) + np.array([
+                e.object_pos("obj")[0] + front[0] * 0.40,
+                e.object_pos("obj")[1] + front[1] * 0.40, 0])
+
+        def withdraw_pt(e):
+            o = e.object_pos("obj")
+            return np.array([o[0] + front[0] * 0.42,
+                             o[1] + front[1] * 0.42,
+                             max(o[2] + 0.05, 1.30)])
+
+        del withdraw
+        pre = [Phase(_torso_cmd(1.0, grip=-1.0),
+                     lambda e: e.get_joint_qpos("robot0_torso_joint") > 0.40,
+                     budget=60, name="torso_up:cab_src")]
+        return pre + pick_place_phases(
+            "obj", counter_dest, above_dz=0.10, skip_torso_down=True,
+            lift_dz=0.05, withdraw_fn=withdraw_pt, torso_down_mid=True,
+            carry_gain=0.25,
+        )
+
+
+class PnPMicrowavePolicy(ScriptedPolicy):
+    """Counter<->microwave pick-and-place (kitchen_pnp.py:480-726):
+    microwave door starts open; the interior has ~20cm headroom so the
+    approach hovers low and the exit withdraws level through the
+    opening."""
+
+    def build_phases(self, env):
+        mw = env.fixture
+        to_mw = type(env).__name__ == "PnPCounterToMicrowave"
+        front = np.array([math.sin(mw.yaw), -math.cos(mw.yaw), 0.0])
+
+        def mw_dest(e):
+            c, half = mw.interior_box()
+            return mw.to_world(np.array([c[0], c[1], c[2] - half[2] + 0.08]))
+
+        def counter_dest(e):
+            counter = e.counter
+            ref = counter.to_local(mw.center)
+            cx = float(np.clip(ref[0], -counter.width / 2 + 0.2,
+                               counter.width / 2 - 0.2))
+            return counter.to_world(
+                np.array([cx, 0.05, counter.height + 0.18])
+            )
+
+        if to_mw:
+            return pick_place_phases("obj", mw_dest, carry_gain=0.25)
+
+        def withdraw_pt(e):
+            o = e.object_pos("obj")
+            return np.array([o[0] + front[0] * 0.45,
+                             o[1] + front[1] * 0.45, o[2] + 0.04])
+
+        pre = [Phase(_torso_cmd(1.0, grip=-1.0),
+                     lambda e: e.get_joint_qpos("robot0_torso_joint") > 0.40,
+                     budget=60, name="torso_up:mw_src")]
+        return pre + pick_place_phases(
+            "obj", counter_dest, above_dz=0.06, skip_torso_down=True,
+            lift_dz=0.03, withdraw_fn=withdraw_pt, torso_down_mid=True,
+            carry_gain=0.25,
+        )
+
+
+class PnPStovePolicy(ScriptedPolicy):
+    """Counter<->stove cookware transfer (kitchen_pnp.py:729-908).
+    Cookware is hollow (objects.py pan/pot rims): pinch the rim wall
+    (pot) or the handle bar (pan) with the wrist rotated so the fingers
+    close across it."""
+
+    def build_phases(self, env):
+        stove = env.fixture
+        to_stove = type(env).__name__ == "PnPCounterToStove"
+        obj = env.objects["obj"]
+        base = env.data.body("robot0_base").xpos
+
+        def stove_dest(e):
+            c, _ = stove.sample_region(locs=["front_left"])
+            return stove.to_world(c + np.array([0, 0, 0.07]))
+
+        def counter_dest(e):
+            counter = e.counter
+            ref = counter.to_local(stove.center)
+            cx = float(np.clip(ref[0], -counter.width / 2 + 0.25,
+                               counter.width / 2 - 0.25))
+            return counter.to_world(
+                np.array([cx, 0.0, counter.height + 0.15])
+            )
+
+        dest = stove_dest if to_stove else counter_dest
+
+        if obj.shape == "pan":
+            # handle bar: grasp its midpoint, fingers across the bar
+            def grasp_pt(e):
+                hp = e.geom_xpos("obj_handle")
+                return hp + np.array([0, 0, 0.0])
+
+            def u_dir(e):
+                hp = e.geom_xpos("obj_handle")
+                o = e.object_pos("obj")
+                v = hp[:2] - o[:2]
+                return v / max(np.linalg.norm(v), 1e-6)
+
+            u = u_dir(env)
+            # fingers close ACROSS the handle: along the perpendicular
+            perp = np.array([-u[1], u[0]])
+            wy = _wrist_yaw_for(env, perp)
+        else:
+            # rim wall nearest the robot base: fingers close along the
+            # radial direction (across the 1cm wall)
+            o = env.object_pos("obj")
+            u = (base[:2] - o[:2])
+            u = u / max(np.linalg.norm(u), 1e-6)
+            rim_r = obj.horizontal_radius
+
+            def grasp_pt(e, _u=u, _r=rim_r):
+                o = e.object_pos("obj")
+                return np.array([o[0] + _u[0] * _r, o[1] + _u[1] * _r,
+                                 o[2] + e.objects["obj"].height - 0.015])
+
+            wy = _wrist_yaw_for(env, u)
+
+        return pick_place_phases(
+            "obj", dest, grasp_pt_fn=grasp_pt, wrist_yaw=wy,
+            above_dz=0.12, carry_gain=0.22, lift_dz=0.20,
+        )
+
+
+class CoffeeMugPolicy(ScriptedPolicy):
+    """Mug to/from the coffee-machine dispenser platform
+    (kitchen_coffee.py:5-105)."""
+
+    def build_phases(self, env):
+        cm = env.coffee_machine
+        to_machine = env.behavior == "counter_to_machine"
+
+        def machine_dest(e):
+            # eef height so the held mug's bottom lands on the platform
+            site = e.site_xpos(f"{cm.name}_dispenser")
+            h = e.objects["obj"].height
+            plat_z = cm.pos[2] + 0.02
+            return np.array([site[0], site[1], plat_z + 0.6 * h + 0.02])
+
+        def counter_dest(e):
+            counter = e.counter
+            ref = counter.to_local(cm.center)
+            side = 1.0 if ref[0] <= 0 else -1.0
+            cx = float(np.clip(ref[0] + side * 0.45,
+                               -counter.width / 2 + 0.2,
+                               counter.width / 2 - 0.2))
+            return counter.to_world(
+                np.array([cx, 0.0, counter.height + 0.15])
+            )
+
+        if to_machine:
+            front = np.array([math.sin(cm.yaw), -math.cos(cm.yaw), 0.0])
+
+            def dest_stage(e):
+                return machine_dest(e) + front * 0.22
+
+            return pick_place_phases("obj", machine_dest, carry_gain=0.2,
+                                     above_dz=0.14, stage_fn=dest_stage)
+        return pick_place_phases("obj", counter_dest, carry_gain=0.2,
+                                 above_dz=0.14)
+
+
+def _torso_cmd(direction, grip):
+    def act(e):
+        a = np.zeros(12)
+        a[11] = 1.0
+        a[10] = direction
+        a[6] = grip
+        return a
+    return act
+
+
+def _wrist_yaw_for(env, direction_xy):
+    """Wrist yaw so the fingers close along ``direction_xy`` (same
+    convention as OpenDrawerPolicy._wrist_target)."""
+    yaw = _base_yaw(env)
+    desired = math.atan2(direction_xy[1], direction_xy[0])
+    wy = desired - yaw
+    while wy > math.pi:
+        wy -= 2 * math.pi
+    while wy < -math.pi:
+        wy += 2 * math.pi
+    # the wrist joint range is symmetric; fingers closing along -d is
+    # equivalent — fold into [-pi/2, pi/2] for reachability
+    if wy > math.pi / 2:
+        wy -= math.pi
+    if wy < -math.pi / 2:
+        wy += math.pi
+    return wy
 
 
 # ===================== registry ======================================
@@ -1215,6 +1540,14 @@ TASK_POLICIES = {
     "TurnOffStove": StoveKnobPolicy,
     "PnPCounterToSink": PnPSinkPolicy,
     "PnPSinkToCounter": PnPSinkPolicy,
+    "PnPCounterToCab": PnPCabinetPolicy,
+    "PnPCabToCounter": PnPCabinetPolicy,
+    "PnPCounterToMicrowave": PnPMicrowavePolicy,
+    "PnPMicrowaveToCounter": PnPMicrowavePolicy,
+    "PnPCounterToStove": PnPStovePolicy,
+    "PnPStoveToCounter": PnPStovePolicy,
+    "CoffeeSetupMug": CoffeeMugPolicy,
+    "CoffeeServeMug": CoffeeMugPolicy,
     "MicrowaveThawing": MicrowaveThawingPolicy,
     "PrepareCoffee": PrepareCoffeePolicy,
     "ArrangeVegetables": ArrangeVegetablesPolicy,

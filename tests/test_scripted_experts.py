@@ -18,7 +18,7 @@ from lipvq_tpu.robocasa.sim.scripted import (  # noqa: E402
 )
 
 
-def rollout_expert(task, seed, max_steps=900):
+def rollout_expert(task, seed, max_steps=1700):
     env = REGISTERED_KITCHEN_ENVS[task](seed=seed)
     env.reset()
     pol = make_scripted_policy(task, env)
@@ -53,7 +53,19 @@ RELIABLE = {
     "TurnOffStove": (1,),
     "PnPCounterToSink": (1,),
     "PnPSinkToCounter": (0,),
+    "PnPCounterToCab": (0, 2),
+    "PnPCabToCounter": (0, 2),
+    "PnPCounterToMicrowave": (0, 1),
+    "PnPMicrowaveToCounter": (1,),
+    "PnPCounterToStove": (1,),
+    "PnPStoveToCounter": (0,),
+    "CoffeeSetupMug": (0, 1),
+    "CoffeeServeMug": (0, 1),
     "ArrangeVegetables": (3,),
+    "MicrowaveThawing": (0,),
+    "RestockPantry": (4,),
+    "PreSoakPan": (0,),
+    "PrepareCoffee": (0, 4),
 }
 
 
@@ -65,13 +77,19 @@ def test_expert_solves(task, seed):
     assert rollout_expert(task, seed), f"{task} expert failed on seed {seed}"
 
 
-def test_registry_covers_atomic_families():
-    for family in (
-        "NavigateKitchen", "OpenDrawer", "CloseDrawer", "OpenSingleDoor",
-        "CloseSingleDoor", "OpenDoubleDoor", "CloseDoubleDoor",
-        "TurnOnMicrowave", "TurnOffMicrowave", "CoffeePressButton",
-        "TurnOnSinkFaucet", "TurnOffSinkFaucet", "TurnSinkSpout",
-        "TurnOnStove", "TurnOffStove", "PnPCounterToSink",
-        "PnPSinkToCounter",
-    ):
-        assert family in TASK_POLICIES
+def test_registry_covers_all_dataset_tasks():
+    """Every dataset-registry task (reference dataset_registry.py:9-311,
+    the teleop-collected corpus surface) has a scripted expert AND a
+    pinned reliable seed."""
+    from lipvq_tpu.robocasa.dataset_registry import (
+        MULTI_STAGE_TASK_DATASETS,
+        SINGLE_STAGE_TASK_DATASETS,
+    )
+
+    registry = sorted(SINGLE_STAGE_TASK_DATASETS) + sorted(
+        MULTI_STAGE_TASK_DATASETS
+    )
+    assert len(registry) == 30
+    for family in registry:
+        assert family in TASK_POLICIES, f"no scripted policy for {family}"
+        assert RELIABLE.get(family), f"no pinned reliable seed for {family}"
