@@ -1,0 +1,197 @@
+"""Multi-task closed-loop suite: collect -> MetaDataset train -> eval.
+
+The reference's protocol trains/evals ICL per task over the robocasa
+suite (config_gen_utils.py:150-164 eval protocol, train_utils.py:904
+icl_rollout_with_stats). This script pins that protocol end-to-end on
+the first-party kitchen: scripted experts collect corpora for N
+fixture-centric task families (fixed layout/style per task), ONE
+ICL+LipVQ model trains on the weighted MetaDataset mixture, and the
+checkpoint is evaluated closed-loop per task with a same-task context
+demo, producing the per-task success table recorded in BASELINE.md.
+
+    python examples/kitchen_multitask_suite.py \
+        [--n_demos 40] [--epochs 30] [--eval_episodes 10] [--out DIR]
+
+Obs keys are proprio + lang_emb (no "object" vector): its dimension is
+task-dependent (10 x num_objects), which a MetaDataset mixture cannot
+batch; the chosen families are fixture-state tasks where language +
+proprio identify the goal (same trade the reference's lang-conditioned
+low-dim configs make).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TASKS = [
+    # (task, collect_seed, layout_id, style_id)
+    ("NavigateKitchen", 11, 0, 0),
+    ("OpenDrawer", 3, 0, 0),
+    ("CloseDrawer", 5, 0, 0),
+    ("OpenSingleDoor", 7, 0, 0),
+    ("CloseSingleDoor", 2, 0, 0),
+    ("TurnOnSinkFaucet", 1, 0, 0),
+    ("TurnOffSinkFaucet", 4, 0, 0),
+    ("TurnSinkSpout", 9, 0, 0),
+]
+
+OBS_KEYS = [
+    "robot0_base_pos", "robot0_base_quat", "robot0_eef_pos",
+    "robot0_eef_quat", "robot0_gripper_qpos", "robot0_base_to_eef_pos",
+    "lang_emb",
+]
+
+
+def collect(args):
+    from lipvq_tpu.scripts.collect_kitchen_suite import collect_task
+
+    paths = {}
+    for task, seed, layout, style in TASKS:
+        path = os.path.join(args.out, f"{task}.hdf5")
+        if os.path.exists(path) and not args.recollect:
+            paths[task] = path
+            continue
+        t0 = time.time()
+        stats = collect_task(
+            task, path, n_demos=args.n_demos, max_steps=900, seed=seed,
+            layout_ids=layout, style_ids=style,
+        )
+        print(f"[collect] {task}: {stats['demos']}/{args.n_demos} demos "
+              f"({stats['attempts']} attempts, {time.time() - t0:.0f}s)",
+              flush=True)
+        if stats["demos"] < max(2, args.n_demos // 2):
+            raise RuntimeError(f"collection too unreliable for {task}")
+        paths[task] = path
+    return paths
+
+
+def make_config(args, paths):
+    from lipvq_tpu.config import config_factory
+    from lipvq_tpu.utils.test_utils import icl_test_config_overrides
+
+    d = icl_test_config_overrides()
+    d["train"].update({
+        "data": [{"path": p, "weight": 1.0} for p in paths.values()],
+        "num_epochs": args.epochs,
+        "batch_size": 64,
+        "output_dir": os.path.join(args.out, "run"),
+    })
+    d["experiment"].update({
+        "epoch_every_n_steps": args.steps_per_epoch,
+        "rollout": {"enabled": False},
+        "save": {"enabled": True, "every_n_epochs": args.epochs},
+        "validate": False,
+    })
+    d["algo"]["transformer"].update(
+        {"embed_dim": 256, "num_layers": 4, "num_heads": 8}
+    )
+    d["algo"]["optim_params"] = {"policy": {"learning_rate": {
+        "initial": 1e-3, "scheduler_type": "none"}}}
+    d["algo"]["vq"] = {"num_codes": 512}
+    d["observation"]["modalities"]["obs"]["low_dim"] = list(OBS_KEYS)
+    return config_factory("icl", d)
+
+
+def evaluate(args, paths, ckpt_path):
+    import numpy as np
+
+    from lipvq_tpu.algo.rollout_policy import ICLRolloutPolicy
+    from lipvq_tpu.config import config_factory
+    from lipvq_tpu.envs.env_factory import create_env_from_metadata
+    from lipvq_tpu.envs.rollout import icl_rollout_with_stats
+    from lipvq_tpu.utils import file_utils as FileUtils
+    from lipvq_tpu.utils import train_utils as TrainUtils
+    from lipvq_tpu.utils.lang_utils import LangEncoder
+
+    model, ckpt = FileUtils.policy_from_checkpoint(ckpt_path)
+    lang_encoder = LangEncoder()
+    table = {}
+    for task, path in paths.items():
+        # per-task context demos come from that task's own corpus
+        # (reference train.py:217-224: context loader over the train set)
+        cfg = make_config(args, {task: path})
+        with cfg.unlocked():
+            cfg.train.data = path
+        train_ds, _ = TrainUtils.load_data_for_training(
+            cfg, obs_keys=model.obs_shapes.keys(), lang_encoder=lang_encoder
+        )
+        _, _, context_loader = TrainUtils.make_loaders(cfg, train_ds, None)
+        context_batch = model.process_batch_for_training(
+            next(iter(context_loader))
+        )
+        policy = ICLRolloutPolicy(
+            model,
+            action_normalization_stats=train_ds.get_action_normalization_stats(),
+            lang_encoder=lang_encoder,
+        )
+        env_meta = FileUtils.get_env_metadata_from_dataset(path)
+        env = create_env_from_metadata(env_meta)
+        logs, _ = icl_rollout_with_stats(
+            policy=policy,
+            envs={env.name: env},
+            context_batch=context_batch,
+            horizon=args.horizon,
+            num_episodes=args.eval_episodes,
+            terminate_on_success=True,
+            frame_stack=cfg.train.frame_stack,
+        )
+        rate = float(list(logs.values())[0]["Success_Rate"])
+        table[task] = rate
+        print(f"[eval] {task}: success={rate:.2f} "
+              f"({args.eval_episodes} episodes)", flush=True)
+        env.close()
+    return table
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_demos", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--steps_per_epoch", type=int, default=300)
+    ap.add_argument("--eval_episodes", type=int, default=10)
+    ap.add_argument("--horizon", type=int, default=500)
+    ap.add_argument("--out", type=str, default="/tmp/kitchen_suite")
+    ap.add_argument("--recollect", action="store_true")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="evaluate the newest checkpoint in --out/run")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    paths = collect(args)
+
+    import glob
+
+    if args.skip_train:
+        ckpts = sorted(
+            glob.glob(os.path.join(args.out, "run", "**", "*.ckpt"),
+                      recursive=True),
+            key=os.path.getmtime,
+        )
+        ckpt_path = ckpts[-1]
+    else:
+        from lipvq_tpu.scripts.train import train
+
+        cfg = make_config(args, paths)
+        t0 = time.time()
+        ckpt_dir = train(cfg)
+        print(f"[train] done in {time.time() - t0:.0f}s", flush=True)
+        ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "*.ckpt")),
+                       key=os.path.getmtime)
+        ckpt_path = ckpts[-1]
+
+    table = evaluate(args, paths, ckpt_path)
+    mean = sum(table.values()) / len(table)
+    print(json.dumps({"per_task": table, "mean": round(mean, 3),
+                      "episodes_per_task": args.eval_episodes}))
+    with open(os.path.join(args.out, "success_table.json"), "w") as f:
+        json.dump({"per_task": table, "mean": mean}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,125 @@ class DevicePrefetchLoader:
             yield q.popleft()
 
 
+def _close_dataset_files(dataset):
+    """Close HDF5 handles so forked workers reopen their own (h5py
+    handles are not fork-safe; SequenceDataset.hdf5_file is lazy)."""
+    if hasattr(dataset, "close"):
+        dataset.close()
+    for member in getattr(dataset, "datasets", []) or []:
+        if hasattr(member, "close"):
+            member.close()
+
+
+def _mp_worker(dataset, idx_q, out_q):
+    _close_dataset_files(dataset)  # reopen lazily in this process
+    while True:
+        job = idx_q.get()
+        if job is None:
+            break
+        epoch_id, idx = job
+        batch = stack_collate([dataset[int(j)] for j in idx])
+        out_q.put((epoch_id, batch))
+
+
+class MultiprocessLoader:
+    """N-worker-process batch loader — the counterpart of torch
+    DataLoader(num_workers=5) in the reference image protocol
+    (config_gen_utils.py:232-238, train.py:213).
+
+    The single-thread DataLoader + PrefetchLoader pair is GIL-bound:
+    at the image protocol (batch 16 x 10-frame x 2 image streams) the
+    host ``__getitem__`` + collate path cannot keep a 68 ms device step
+    fed on a small host. Workers are forked once and fed index batches
+    through a queue; completed batches stream back in completion order
+    (batch order within an epoch is irrelevant for SGD; the index
+    PERMUTATION is still seeded and deterministic).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, sampler=None,
+                 num_workers: int = 4, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sampler = sampler
+        self.num_workers = max(1, int(num_workers))
+        self.prefetch = max(2, int(prefetch))
+        self._rng = np.random.default_rng(seed)
+        self._procs = None
+        self._idx_q = None
+        self._out_q = None
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _ensure_workers(self):
+        if self._procs is not None:
+            return
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        # parent must drop its handles BEFORE the fork so children
+        # don't inherit live h5py state
+        _close_dataset_files(self.dataset)
+        self._idx_q = ctx.Queue()
+        self._out_q = ctx.Queue(maxsize=self.prefetch * self.num_workers)
+        self._procs = [
+            ctx.Process(
+                target=_mp_worker,
+                args=(self.dataset, self._idx_q, self._out_q),
+                daemon=True,
+            )
+            for _ in range(self.num_workers)
+        ]
+        for p in self._procs:
+            p.start()
+
+    def shutdown(self):
+        if self._procs is None:
+            return
+        for _ in self._procs:
+            self._idx_q.put(None)
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs = None
+
+    def __del__(self):  # pragma: no cover - interpreter teardown
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+    def __iter__(self):
+        self._ensure_workers()
+        if self.sampler is not None:
+            order = np.fromiter(iter(self.sampler), dtype=np.int64)
+        elif self.shuffle:
+            order = self._rng.permutation(len(self.dataset))
+        else:
+            order = np.arange(len(self.dataset))
+        n_batches = len(self)
+        self._epoch += 1
+        epoch_id = self._epoch
+        for b in range(n_batches):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            self._idx_q.put((epoch_id, idx))
+        served = 0
+        while served < n_batches:
+            eid, batch = self._out_q.get()
+            if eid != epoch_id:  # stale batch from an abandoned epoch
+                continue
+            served += 1
+            yield batch
+
+
 class CyclingIterator:
     """Infinite iterator that restarts the loader on exhaustion
     (reference run_epoch's StopIteration handling)."""

@@ -189,19 +189,27 @@ def should_save_from_rollout_logs(rollout_logs, best_return, best_success_rate,
 
 
 def make_loaders(config, train_ds, valid_ds):
-    from lipvq_tpu.data.loaders import PrefetchLoader
+    from lipvq_tpu.data.loaders import MultiprocessLoader, PrefetchLoader
 
     sampler = None
     if hasattr(train_ds, "get_dataset_sampler"):
         sampler = train_ds.get_dataset_sampler(seed=config.train.seed)
-    train_loader = DataLoader(
-        train_ds, batch_size=config.train.batch_size, shuffle=True,
-        seed=config.train.seed, sampler=sampler,
-    )
-    if config.train.num_data_workers:
-        train_loader = PrefetchLoader(
-            train_loader, prefetch=int(config.train.num_data_workers)
+    n_workers = int(config.train.num_data_workers or 0)
+    if n_workers > 1:
+        # worker PROCESSES like the reference's torch
+        # DataLoader(num_workers=5) at the image protocol
+        # (config_gen_utils.py:232-238); 0/1 keeps the GIL-thread path
+        train_loader = MultiprocessLoader(
+            train_ds, batch_size=config.train.batch_size, shuffle=True,
+            seed=config.train.seed, sampler=sampler, num_workers=n_workers,
         )
+    else:
+        train_loader = DataLoader(
+            train_ds, batch_size=config.train.batch_size, shuffle=True,
+            seed=config.train.seed, sampler=sampler,
+        )
+        if n_workers:
+            train_loader = PrefetchLoader(train_loader, prefetch=2)
     valid_loader = None
     if valid_ds is not None:
         valid_loader = DataLoader(
