@@ -1324,19 +1324,12 @@ class PnPCabinetPolicy(ScriptedPolicy):
         # then lower the torso and carry to the counter
         front = np.array([math.sin(cab.yaw), -math.cos(cab.yaw), 0.0])
 
-        def withdraw(e):
-            return e.eef_pos() * np.array([0, 0, 1]) + np.array([
-                0, 0, 0]) + np.array([
-                e.object_pos("obj")[0] + front[0] * 0.40,
-                e.object_pos("obj")[1] + front[1] * 0.40, 0])
-
         def withdraw_pt(e):
             o = e.object_pos("obj")
             return np.array([o[0] + front[0] * 0.42,
                              o[1] + front[1] * 0.42,
                              max(o[2] + 0.05, 1.30)])
 
-        del withdraw
         pre = [Phase(_torso_cmd(1.0, grip=-1.0),
                      lambda e: e.get_joint_qpos("robot0_torso_joint") > 0.40,
                      budget=60, name="torso_up:cab_src")]
