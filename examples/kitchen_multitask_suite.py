@@ -111,8 +111,16 @@ def evaluate(args, paths, ckpt_path):
 
     model, ckpt = FileUtils.policy_from_checkpoint(ckpt_path)
     lang_encoder = LangEncoder()
+    # incremental, restartable: completed tasks persist and are skipped
+    # on relaunch (the eval runs ~1h over a dev tunnel that can drop)
+    partial_path = os.path.join(args.out, "success_table.json")
     table = {}
+    if os.path.exists(partial_path):
+        table = json.load(open(partial_path)).get("per_task", {})
     for task, path in paths.items():
+        if task in table:
+            print(f"[eval] {task}: cached {table[task]:.2f}", flush=True)
+            continue
         # per-task context demos come from that task's own corpus
         # (reference train.py:217-224: context loader over the train set)
         cfg = make_config(args, {task: path})
@@ -146,6 +154,8 @@ def evaluate(args, paths, ckpt_path):
         print(f"[eval] {task}: success={rate:.2f} "
               f"({args.eval_episodes} episodes)", flush=True)
         env.close()
+        with open(partial_path, "w") as f:
+            json.dump({"per_task": table}, f, indent=2)
     return table
 
 
