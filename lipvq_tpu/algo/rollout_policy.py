@@ -28,7 +28,10 @@ class RolloutPolicy:
         self._ep_lang_emb = None
 
     def start_episode(self, lang=None):
-        """Cache the episode language embedding (reference algo.py:730-737)."""
+        """Cache the episode language embedding (reference algo.py:730-737).
+
+        ``lang`` may be a str (one episode) or a list of str (one per env
+        of a vector-env batch -> [N, 768] embedding matrix)."""
         if lang is not None and self.lang_encoder is not None:
             self._ep_lang_emb = np.asarray(
                 self.lang_encoder.get_lang_emb(lang), np.float32
@@ -102,9 +105,15 @@ class ICLRolloutPolicy(RolloutPolicy):
             obs = ObsUtils.normalize_dict(obs, self.obs_normalization_stats)
         if self._ep_lang_emb is not None:
             t = next(iter(obs.values())).shape[1]
-            obs[LANG_EMB_KEY] = np.tile(
-                self._ep_lang_emb[None, None], (n, t, 1)
-            )
+            if self._ep_lang_emb.ndim == 2:
+                # per-env embeddings [N, E] from start_episode(lang=list)
+                obs[LANG_EMB_KEY] = np.tile(
+                    self._ep_lang_emb[:, None], (1, t, 1)
+                )
+            else:
+                obs[LANG_EMB_KEY] = np.tile(
+                    self._ep_lang_emb[None, None], (n, t, 1)
+                )
         ctx = {
             "obs": {
                 k: np.repeat(np.asarray(v), n, axis=0)

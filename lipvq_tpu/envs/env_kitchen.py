@@ -78,6 +78,10 @@ class EnvKitchen(EnvBase):
         return self.env.get_ep_meta()
 
     @property
+    def ep_lang_str(self):
+        return self._ep_lang_str
+
+    @property
     def name(self):
         return self._name
 

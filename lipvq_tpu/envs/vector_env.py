@@ -53,6 +53,18 @@ class VectorEnv:
     def ep_lang_str(self):
         return getattr(self.envs[0], "ep_lang_str", None)
 
+    @property
+    def ep_lang_strs(self):
+        """Per-env episode language (valid after reset). Lang can differ
+        across envs of the same task (sampled target fixture/object)."""
+        out = []
+        for e in self.envs:
+            lang = getattr(e, "ep_lang_str", None)
+            if lang is None and hasattr(e, "unwrapped"):
+                lang = getattr(e.unwrapped, "_ep_lang_str", None)
+            out.append(lang)
+        return out
+
     @staticmethod
     def _stack(obs_list):
         keys = obs_list[0].keys()
@@ -71,6 +83,11 @@ def _subproc_worker(pipe, env_fn, frame_stack):
             pipe.send(env.step(data))
         elif cmd == "is_success":
             pipe.send(env.is_success())
+        elif cmd == "ep_lang_str":
+            lang = getattr(env, "ep_lang_str", None)
+            if lang is None and hasattr(env, "unwrapped"):
+                lang = getattr(env.unwrapped, "_ep_lang_str", None)
+            pipe.send(lang)
         elif cmd == "close":
             pipe.close()
             break
@@ -111,6 +128,12 @@ class SubprocVectorEnv:
             p.send(("is_success", None))
         return [p.recv() for p in self.pipes]
 
+    @property
+    def ep_lang_strs(self):
+        for p in self.pipes:
+            p.send(("ep_lang_str", None))
+        return [p.recv() for p in self.pipes]
+
     def close(self):
         for p in self.pipes:
             p.send(("close", None))
@@ -131,7 +154,11 @@ def batched_icl_rollout(
     Returns per-env {Return, Horizon, Success_Rate}.
     """
     obs = vec_env.reset()
-    policy.start_episode(lang=getattr(vec_env, "ep_lang_str", None))
+    langs = getattr(vec_env, "ep_lang_strs", None)
+    if langs is not None and any(langs):
+        policy.start_episode(lang=[l or "" for l in langs])
+    else:
+        policy.start_episode(lang=getattr(vec_env, "ep_lang_str", None))
     n = vec_env.num_envs
     returns = np.zeros(n)
     horizons = np.zeros(n, int)

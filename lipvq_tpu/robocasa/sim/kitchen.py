@@ -113,6 +113,8 @@ class Kitchen:
         ]
         self.style_ids = L.unpack_style_ids(style_ids)
         self.rng = np.random.default_rng(seed)
+        self.randomize_cameras = randomize_cameras
+        self.translucent_robot = translucent_robot
         self.control_freq = control_freq
         self.horizon = horizon
         self.use_camera_obs = use_camera_obs
@@ -284,11 +286,44 @@ class Kitchen:
 
     def _add_cameras(self, spec):
         """Agentview camera looking at the scene center (reference
-        camera_utils / kitchen.py:973-1018)."""
+        camera_utils / kitchen.py:973-1018).
+
+        With ``randomize_cameras``, the agentview pose gets per-episode
+        gaussian noise — pos sigma 0.05 m, euler sigma 3 deg, matching
+        reference kitchen.py:993-1018 (eye-in-hand cameras there draw
+        zero noise, so body-mounted cameras here are left exact). The
+        draw is recorded in ep_meta so ``reset_to`` replays the same
+        camera pose bit-identically."""
+        pos = np.array([2.5, -3.2, 1.9])
+        xyaxes = np.array([1.0, 0.0, 0.0, 0.0, 0.45, 0.9])
+        self._cam_noise = None
+        if self.randomize_cameras:
+            saved = self._ep_meta.get("cam_noise")
+            if saved is not None:
+                pos_noise = np.asarray(saved["pos"], float)
+                euler_noise = np.asarray(saved["euler"], float)
+            else:
+                pos_noise = self.rng.normal(0.0, 0.05, 3)
+                euler_noise = self.rng.normal(0.0, 3.0, 3)
+            self._cam_noise = {
+                "pos": [float(v) for v in pos_noise],
+                "euler": [float(v) for v in euler_noise],
+            }
+            pos = pos + pos_noise
+            from scipy.spatial.transform import Rotation
+
+            x = xyaxes[:3] / np.linalg.norm(xyaxes[:3])
+            y = xyaxes[3:] / np.linalg.norm(xyaxes[3:])
+            rmat = np.column_stack([x, y, np.cross(x, y)])
+            rmat = (
+                Rotation.from_euler("xyz", euler_noise, degrees=True).as_matrix()
+                @ rmat
+            )
+            xyaxes = np.concatenate([rmat[:, 0], rmat[:, 1]])
         spec.worldbody.add_camera(
             name="robot0agentview_center",
-            pos=[2.5, -3.2, 1.9],
-            xyaxes=[1, 0, 0, 0, 0.45, 0.9],
+            pos=[float(v) for v in pos],
+            xyaxes=[float(v) for v in xyaxes],
         )
 
     def _sample_cfg_object(self, cfg, name):
@@ -460,6 +495,13 @@ class Kitchen:
         self.obj_body_id = {
             name: self.model.body(name).id for name in self.objects
         }
+        if self.translucent_robot:
+            # reference kitchen.py:1365-1376: alpha 0.10 on robot
+            # visual geoms during rendering
+            for gid in range(self.model.ngeom):
+                gname = self.model.geom(gid).name
+                if gname.startswith("robot0") and self.model.geom_rgba[gid, 3] > 0:
+                    self.model.geom_rgba[gid, 3] = 0.10
         # robot initial pose
         init_fixture = getattr(self, "init_robot_base_pos", None)
         self.controller = RobotController(self.model, self.data)
@@ -586,6 +628,8 @@ class Kitchen:
         ep_meta["object_placements"] = dict(self._placements)
         if getattr(self, "_texture_params", None):
             ep_meta["texture_params"] = self._texture_params
+        if getattr(self, "_cam_noise", None):
+            ep_meta["cam_noise"] = self._cam_noise
         ep_meta["fixture_refs"] = {
             k: v.name for k, v in self.fixture_refs.items()
         }

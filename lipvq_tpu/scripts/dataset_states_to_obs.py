@@ -125,10 +125,13 @@ def _writer(output_path, env_meta, total, out_queue, done_event):
 def dataset_states_to_obs_multiprocessing(
     dataset_path: str, output_path: str, num_procs: int = 2,
     camera_names=(), camera_height: int = 128, camera_width: int = 128,
-    filter_key: str | None = None,
+    filter_key: str | None = None, randomize_cameras: bool = False,
 ):
     with h5py.File(dataset_path, "r") as f:
         env_meta = json.loads(f["data"].attrs["env_args"])
+        if randomize_cameras:
+            # reference dataset_states_to_obs.py:349-350
+            env_meta.setdefault("env_kwargs", {})["randomize_cameras"] = True
         if filter_key:
             demos = [e.decode("utf-8") for e in f[f"mask/{filter_key}"][:]]
         else:
@@ -173,6 +176,8 @@ def main():
     parser.add_argument("--camera_height", type=int, default=128)
     parser.add_argument("--camera_width", type=int, default=128)
     parser.add_argument("--filter_key", type=str, default=None)
+    # reference dataset_states_to_obs.py:663
+    parser.add_argument("--randomize_cameras", action="store_true")
     args = parser.parse_args()
     output_path = os.path.join(
         os.path.dirname(os.path.abspath(args.dataset)), args.output_name
@@ -181,6 +186,7 @@ def main():
         args.dataset, output_path, num_procs=args.num_procs,
         camera_names=args.camera_names, camera_height=args.camera_height,
         camera_width=args.camera_width, filter_key=args.filter_key,
+        randomize_cameras=args.randomize_cameras,
     )
 
 

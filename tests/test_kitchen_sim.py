@@ -199,3 +199,53 @@ def test_same_seed_bit_identical():
     np.testing.assert_array_equal(q0a, q0b)
     np.testing.assert_array_equal(acts_a, acts_b)
     np.testing.assert_array_equal(qfa, qfb)
+
+
+def test_randomize_cameras():
+    """Reference kitchen.py:978-1018: per-episode gaussian camera noise
+    (pos sigma 0.05 m, euler 3 deg), recorded in ep_meta so reset_to
+    replays the exact camera pose."""
+    env = REGISTERED_KITCHEN_ENVS["OpenDrawer"](seed=3, randomize_cameras=True)
+    env.reset()
+    cam = env.model.cam("robot0agentview_center")
+    pos1 = cam.pos.copy()
+    noise1 = env.get_ep_meta()["cam_noise"]
+    assert not np.allclose(pos1, [2.5, -3.2, 1.9])
+    np.testing.assert_allclose(
+        pos1, np.add([2.5, -3.2, 1.9], noise1["pos"]), atol=1e-9
+    )
+    state = env.get_state()
+
+    env.reset()
+    pos2 = env.model.cam("robot0agentview_center").pos.copy()
+    assert not np.allclose(pos1, pos2)  # fresh draw per episode
+
+    env2 = REGISTERED_KITCHEN_ENVS["OpenDrawer"](seed=99, randomize_cameras=True)
+    env2.reset_to(state)
+    np.testing.assert_allclose(
+        env2.model.cam("robot0agentview_center").pos, pos1, atol=1e-12
+    )
+    assert env2.get_ep_meta()["cam_noise"] == noise1
+
+    # off by default: exact nominal pose
+    env3 = REGISTERED_KITCHEN_ENVS["OpenDrawer"](seed=3)
+    env3.reset()
+    np.testing.assert_allclose(
+        env3.model.cam("robot0agentview_center").pos, [2.5, -3.2, 1.9]
+    )
+    for e in (env, env2, env3):
+        e.close()
+
+
+def test_translucent_robot():
+    """Reference kitchen.py:1365-1376: alpha 0.10 on robot visual geoms."""
+    env = REGISTERED_KITCHEN_ENVS["OpenDrawer"](seed=3, translucent_robot=True)
+    env.reset()
+    alphas = [
+        float(env.model.geom_rgba[g, 3])
+        for g in range(env.model.ngeom)
+        if env.model.geom(g).name.startswith("robot0")
+        and env.model.geom_rgba[g, 3] > 0
+    ]
+    assert alphas and all(a == pytest.approx(0.10) for a in alphas)
+    env.close()
