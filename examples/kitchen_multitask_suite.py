@@ -61,6 +61,7 @@ def collect(args):
         stats = collect_task(
             task, path, n_demos=args.n_demos, max_steps=900, seed=seed,
             layout_ids=layout, style_ids=style,
+            action_noise=args.action_noise,
         )
         print(f"[collect] {task}: {stats['demos']}/{args.n_demos} demos "
               f"({stats['attempts']} attempts, {time.time() - t0:.0f}s)",
@@ -174,6 +175,10 @@ def main():
     ap.add_argument("--eval_episodes", type=int, default=10)
     ap.add_argument("--horizon", type=int, default=500)
     ap.add_argument("--out", type=str, default="/tmp/kitchen_suite")
+    ap.add_argument("--action_noise", type=float, default=0.0,
+                    help="DART-style expert action noise during collection "
+                         "(closed-loop manipulation needs ~0.05: noise-free "
+                         "corpora leave the policy no recovery data)")
     ap.add_argument("--recollect", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the newest checkpoint in --out/run")
