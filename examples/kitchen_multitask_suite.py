@@ -149,7 +149,10 @@ def evaluate(args, paths, ckpt_path):
             meta_i = copy.deepcopy(env_meta)
             meta_i.setdefault("env_kwargs", {})["seed"] = 1000 + i
             fns.append(lambda m=meta_i: create_env_from_metadata(m))
-        vec = VectorEnv(fns, frame_stack=cfg.train.frame_stack)
+        vec = VectorEnv(
+            fns, frame_stack=cfg.train.frame_stack,
+            obs_keys=[k for k in model.obs_shapes if k != "lang_emb"],
+        )
         t0 = time.time()
         logs = batched_icl_rollout(
             policy, vec, context_batch, horizon=args.horizon,

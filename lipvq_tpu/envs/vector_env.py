@@ -25,22 +25,30 @@ from lipvq_tpu.envs.wrappers import FrameStackWrapper
 
 
 class VectorEnv:
-    """Lock-step batch of environments (in-process)."""
+    """Lock-step batch of environments (in-process).
 
-    def __init__(self, env_fns, frame_stack: int | None = None):
+    ``obs_keys`` filters the stacked observation dict to the keys the
+    policy consumes — env members of one task can sample different
+    object counts, making task-object keys ragged across the batch
+    (unstackable); proprio/camera keys are shape-stable."""
+
+    def __init__(self, env_fns, frame_stack: int | None = None,
+                 obs_keys=None):
         self.envs = [fn() for fn in env_fns]
         if frame_stack:
             self.envs = [FrameStackWrapper(e, frame_stack) for e in self.envs]
         self.num_envs = len(self.envs)
+        self.obs_keys = set(obs_keys) if obs_keys is not None else None
 
     def reset(self):
         obs = [e.reset() for e in self.envs]
-        return self._stack(obs)
+        return self._stack(obs, self.obs_keys)
 
     def step(self, actions: np.ndarray):
         results = [e.step(actions[i]) for i, e in enumerate(self.envs)]
         obs, rews, dones, infos = zip(*results)
-        return self._stack(obs), np.asarray(rews), np.asarray(dones), infos
+        return (self._stack(obs, self.obs_keys), np.asarray(rews),
+                np.asarray(dones), infos)
 
     def is_success(self):
         return [e.is_success() for e in self.envs]
@@ -66,8 +74,11 @@ class VectorEnv:
         return out
 
     @staticmethod
-    def _stack(obs_list):
-        keys = obs_list[0].keys()
+    def _stack(obs_list, obs_keys=None):
+        keys = [
+            k for k in obs_list[0]
+            if obs_keys is None or k in obs_keys
+        ]
         return {k: np.stack([o[k] for o in obs_list]) for k in keys}
 
 
@@ -97,7 +108,9 @@ class SubprocVectorEnv:
     """One subprocess per env (reference train.py:141-144 uses tianshou's
     equivalent for MuJoCo envs)."""
 
-    def __init__(self, env_fns, frame_stack: int | None = None):
+    def __init__(self, env_fns, frame_stack: int | None = None,
+                 obs_keys=None):
+        self.obs_keys = set(obs_keys) if obs_keys is not None else None
         ctx = mp.get_context("spawn")
         self.pipes, self.procs = [], []
         for fn in env_fns:
@@ -114,14 +127,15 @@ class SubprocVectorEnv:
     def reset(self):
         for p in self.pipes:
             p.send(("reset", None))
-        return VectorEnv._stack([p.recv() for p in self.pipes])
+        return VectorEnv._stack([p.recv() for p in self.pipes], self.obs_keys)
 
     def step(self, actions):
         for i, p in enumerate(self.pipes):
             p.send(("step", actions[i]))
         results = [p.recv() for p in self.pipes]
         obs, rews, dones, infos = zip(*results)
-        return VectorEnv._stack(obs), np.asarray(rews), np.asarray(dones), infos
+        return (VectorEnv._stack(obs, self.obs_keys), np.asarray(rews),
+                np.asarray(dones), infos)
 
     def is_success(self):
         for p in self.pipes:

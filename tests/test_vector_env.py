@@ -139,3 +139,37 @@ def test_subproc_vector_env():
         assert len(succ) == 2 and "task" in succ[0]
     finally:
         vec.close()
+
+
+def test_vector_env_obs_keys_filter():
+    """Envs of one task can sample different object counts -> ragged
+    task-object obs keys; obs_keys restricts stacking to the
+    shape-stable keys the policy consumes."""
+
+    class _RaggedEnv(SyntheticKitchenEnv):
+        def __init__(self, n_extra, **kw):
+            super().__init__(**kw)
+            self._n_extra = n_extra
+
+        def reset(self):
+            obs = dict(super().reset())
+            obs["task_objects"] = np.zeros(10 * self._n_extra, np.float32)
+            return obs
+
+        def step(self, action):
+            obs, r, d, info = super().step(action)
+            obs = dict(obs)
+            obs["task_objects"] = np.zeros(10 * self._n_extra, np.float32)
+            return obs, r, d, info
+
+    fns = [lambda n=n: _RaggedEnv(n, seed=n) for n in (1, 2, 3)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        VectorEnv([f for f in fns], frame_stack=2).reset()
+    vec = VectorEnv(fns, frame_stack=2,
+                    obs_keys=["robot0_eef_pos", "object"])
+    obs = vec.reset()
+    assert set(obs) == {"robot0_eef_pos", "object"}
+    obs, _, _, _ = vec.step(np.zeros((3, 12), np.float32))
+    assert set(obs) == {"robot0_eef_pos", "object"}
