@@ -155,6 +155,46 @@ def icl_rollout_with_stats(
     return all_rollout_logs, video_paths
 
 
+def icl_batched_rollout_with_stats(
+    policy,
+    vec_envs: dict,
+    context_batch,
+    horizon: int,
+    num_episodes: int,
+    terminate_on_success: bool = False,
+):
+    """Batched counterpart of :func:`icl_rollout_with_stats`.
+
+    The reference exposes ``experiment.rollout.batched`` +
+    ``num_batch_envs`` (base_config.py:130-131) but its ICL path is
+    unfinished (algo.py:751 asserts batched is False). Here each env
+    name maps to a :class:`~lipvq_tpu.envs.vector_env.VectorEnv`; waves
+    of ``num_batch_envs`` episodes run in lock-step (one policy dispatch
+    per step) until ``num_episodes`` episodes have been collected.
+    """
+    from lipvq_tpu.envs.vector_env import batched_icl_rollout
+
+    all_rollout_logs = OrderedDict()
+    for env_name, vec in vec_envs.items():
+        waves = max(1, -(-num_episodes // vec.num_envs))
+        t_start = time.time()
+        wave_logs = [
+            batched_icl_rollout(
+                policy, vec, context_batch, horizon,
+                terminate_on_success=terminate_on_success,
+            )
+            for _ in range(waves)
+        ]
+        logs = {
+            k: float(np.mean([w[k] for w in wave_logs]))
+            for k in wave_logs[0]
+        }
+        logs["Num_Episodes"] = float(waves * vec.num_envs)
+        logs["Time_Rollouts"] = (time.time() - t_start) / 60.0
+        all_rollout_logs[env_name] = logs
+    return all_rollout_logs, OrderedDict()
+
+
 def rollout_with_stats(policy, envs, horizon, num_episodes, **kwargs):
     """Non-ICL variant (reference train_utils.py:698-903)."""
 

@@ -145,8 +145,33 @@ def train(config, eval_only: bool = False):
                 # explicit eval-env override (reference train.py:124-132;
                 # used by the zero-shot eval flow)
                 rollout_env_meta["env_name"] = config.experiment.env
-            env = create_env_from_metadata(rollout_env_meta)
-            envs[env.name] = env
+            if config.experiment.rollout.batched:
+                # reference base_config.py:130-131 knobs; its ICL batched
+                # path is unfinished (algo.py:751) — first-class here
+                from lipvq_tpu.envs.vector_env import VectorEnv
+
+                n_batch = config.experiment.rollout.num_batch_envs
+                fns = []
+                for i in range(n_batch):
+                    meta_i = json.loads(json.dumps(rollout_env_meta))
+                    kw = meta_i.setdefault("env_kwargs", {})
+                    if kw.get("seed") is not None:
+                        # distinct episode streams per member (a pinned
+                        # collection seed would replay one episode N times)
+                        kw["seed"] = int(kw["seed"]) + 1000 + i
+                    fns.append(
+                        lambda m=meta_i: create_env_from_metadata(m)
+                    )
+                vec = VectorEnv(
+                    fns,
+                    frame_stack=config.train.frame_stack,
+                    obs_keys=[k for k in model.obs_shapes
+                              if k != ObsUtils.LANG_EMB_KEY],
+                )
+                envs[rollout_env_meta["env_name"]] = vec
+            else:
+                env = create_env_from_metadata(rollout_env_meta)
+                envs[env.name] = env
             rollout_available = True
         except Exception as e:
             print(f"Rollout disabled (no env adapter): {type(e).__name__}: {e}")
@@ -241,7 +266,10 @@ def train(config, eval_only: bool = False):
             and rollout_check
             and epoch >= config.experiment.rollout.warmstart
         ):
-            from lipvq_tpu.envs.rollout import icl_rollout_with_stats
+            from lipvq_tpu.envs.rollout import (
+                icl_batched_rollout_with_stats,
+                icl_rollout_with_stats,
+            )
             from lipvq_tpu.algo.rollout_policy import ICLRolloutPolicy
 
             context_batch = next(iter(context_loader))
@@ -252,19 +280,29 @@ def train(config, eval_only: bool = False):
                 action_normalization_stats=train_ds.get_action_normalization_stats(),
                 lang_encoder=lang_encoder,
             )
-            all_rollout_logs, video_paths = icl_rollout_with_stats(
-                policy=policy,
-                envs=envs,
-                context_batch=context_batch,
-                horizon=config.experiment.rollout.horizon,
-                num_episodes=config.experiment.rollout.n,
-                render=config.experiment.render,
-                video_dir=video_dir if config.experiment.render_video else None,
-                epoch=epoch,
-                video_skip=config.experiment.video_skip,
-                terminate_on_success=config.experiment.rollout.terminate_on_success,
-                frame_stack=config.train.frame_stack,
-            )
+            if config.experiment.rollout.batched:
+                all_rollout_logs, video_paths = icl_batched_rollout_with_stats(
+                    policy=policy,
+                    vec_envs=envs,
+                    context_batch=context_batch,
+                    horizon=config.experiment.rollout.horizon,
+                    num_episodes=config.experiment.rollout.n,
+                    terminate_on_success=config.experiment.rollout.terminate_on_success,
+                )
+            else:
+                all_rollout_logs, video_paths = icl_rollout_with_stats(
+                    policy=policy,
+                    envs=envs,
+                    context_batch=context_batch,
+                    horizon=config.experiment.rollout.horizon,
+                    num_episodes=config.experiment.rollout.n,
+                    render=config.experiment.render,
+                    video_dir=video_dir if config.experiment.render_video else None,
+                    epoch=epoch,
+                    video_skip=config.experiment.video_skip,
+                    terminate_on_success=config.experiment.rollout.terminate_on_success,
+                    frame_stack=config.train.frame_stack,
+                )
             for env_name, rollout_logs in all_rollout_logs.items():
                 print(f"Rollout Epoch {epoch} [{env_name}]: "
                       + json.dumps({k: v for k, v in rollout_logs.items()

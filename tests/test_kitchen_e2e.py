@@ -94,3 +94,24 @@ def test_train_and_rollout_on_kitchen(kitchen_hdf5, tmp_path):
     # the lang backend that produced lang_emb stats is recorded
     # (VERDICT round-1 weak item 9)
     assert ckpt["lang_backend"] in ("clip_flax", "clip", "hash")
+
+
+def test_train_batched_rollout_on_kitchen(kitchen_hdf5, tmp_path, capsys):
+    """rollout.batched + num_batch_envs drive the VectorEnv engine
+    through train() (reference base_config.py:130-131 knobs; its ICL
+    batched path is unfinished — algo.py:751)."""
+    from lipvq_tpu.scripts.train import train
+
+    d = icl_test_config_overrides()
+    d["train"]["data"] = kitchen_hdf5
+    d["train"]["output_dir"] = str(tmp_path)
+    d["experiment"]["rollout"] = {
+        "enabled": True, "n": 4, "horizon": 30, "rate": 1,
+        "batched": True, "num_batch_envs": 2,
+    }
+    cfg = config_factory("icl", d)
+    ckpt_dir = train(cfg)
+    assert glob.glob(os.path.join(ckpt_dir, "*.ckpt"))
+    out = capsys.readouterr().out
+    # 2 waves x 2 envs ran to completion and were logged
+    assert '"Num_Episodes": 4.0' in out, out[-2000:]
