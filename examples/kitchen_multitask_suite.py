@@ -81,6 +81,9 @@ def make_config(args, paths):
         "data": [{"path": p, "weight": 1.0} for p in paths.values()],
         "num_epochs": args.epochs,
         "batch_size": 64,
+        # same-task context/query pairing (mixed-task batches turn the
+        # ICL context signal into noise after halving)
+        "group_task_batches": True,
         "output_dir": os.path.join(args.out, "run"),
     })
     d["experiment"].update({

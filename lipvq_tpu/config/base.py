@@ -126,6 +126,9 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         t.data = None
         t.output_dir = f"../{self.algo_name}_trained_models"
         t.num_data_workers = 0
+        # multi-task MetaDataset only: draw every batch from ONE
+        # sub-dataset so ICL context/query halving pairs same-task demos
+        t.group_task_batches = False
         t.hdf5_cache_mode = "all"
         t.hdf5_use_swmr = True
         t.hdf5_load_next_obs = True

@@ -431,6 +431,50 @@ class CustomWeightedRandomSampler:
         return self.num_samples
 
 
+class TaskGroupedBatchSampler:
+    """Index sampler whose every ``batch_size`` block comes from ONE
+    sub-dataset (drawn per-batch with probability proportional to the
+    dataset's total item weight).
+
+    In-context algorithms split each batch into context/query halves
+    (reference icl.py:904-911). The reference never mixes tasks in a
+    batch — it trains one task per run — but a multi-task MetaDataset
+    with plain shuffling pairs context demos with queries from OTHER
+    tasks, turning the in-context conditioning signal into noise.
+    Grouping batches by sub-dataset restores same-task pairing."""
+
+    def __init__(self, boundaries, ds_weights, batch_size: int,
+                 num_samples: int, seed: int = 0,
+                 normalize_weights_by_ds_size: bool = False):
+        self.boundaries = list(boundaries)
+        lens = np.diff(self.boundaries).astype(np.float64)
+        w = np.asarray(ds_weights, np.float64)
+        # per-batch dataset probability = total item weight of the
+        # dataset, matching item-level weighted sampling in expectation
+        p = w if normalize_weights_by_ds_size else w * lens
+        self.probs = p / p.sum()
+        self.batch_size = int(batch_size)
+        self.num_samples = int(num_samples)
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        n_batches = max(1, self.num_samples // self.batch_size)
+        ds_ids = self._rng.choice(
+            len(self.probs), size=n_batches, p=self.probs
+        )
+        blocks = [
+            self._rng.integers(
+                self.boundaries[d], self.boundaries[d + 1],
+                size=self.batch_size,
+            )
+            for d in ds_ids
+        ]
+        return iter(np.concatenate(blocks).tolist())
+
+    def __len__(self):
+        return max(1, self.num_samples // self.batch_size) * self.batch_size
+
+
 class MetaDataset:
     """Mix of SequenceDatasets with per-dataset sampling weights
     (reference dataset.py:1063-1190): one global index space; action
@@ -497,8 +541,18 @@ class MetaDataset:
         return self.action_normalization_stats
 
     def get_dataset_sampler(self, num_samples: int | None = None,
-                            seed: int = 0):
-        """Weighted sampler iff any weight != 1 (reference :1115-1131)."""
+                            seed: int = 0, batch_size: int | None = None):
+        """Weighted sampler iff any weight != 1 (reference :1115-1131).
+
+        ``batch_size`` switches to :class:`TaskGroupedBatchSampler`
+        (every batch single-task) regardless of weights — required for
+        meaningful in-context pairing under multi-task training."""
+        if batch_size is not None:
+            return TaskGroupedBatchSampler(
+                self._boundaries, self.ds_weights, batch_size,
+                num_samples or len(self), seed=seed,
+                normalize_weights_by_ds_size=self.normalize_weights_by_ds_size,
+            )
         if all(w == 1.0 for w in self.ds_weights):
             return None
         weights = np.zeros(len(self))

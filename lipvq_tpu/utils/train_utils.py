@@ -193,7 +193,13 @@ def make_loaders(config, train_ds, valid_ds):
 
     sampler = None
     if hasattr(train_ds, "get_dataset_sampler"):
-        sampler = train_ds.get_dataset_sampler(seed=config.train.seed)
+        group_bs = (
+            config.train.batch_size
+            if config.train.get("group_task_batches", False) else None
+        )
+        sampler = train_ds.get_dataset_sampler(
+            seed=config.train.seed, batch_size=group_bs
+        )
     n_workers = int(config.train.num_data_workers or 0)
     if n_workers > 1:
         # worker PROCESSES like the reference's torch
