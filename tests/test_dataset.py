@@ -1,20 +1,24 @@
 
 
-def test_task_grouped_batch_sampler():
-    """Every batch_size block comes from one sub-dataset; dataset
-    frequencies follow the item-weight proportions."""
+def test_task_paired_batch_sampler():
+    """Context/query halves are task-aligned elementwise; batches mix
+    tasks; dataset frequencies follow item-weight proportions."""
     import numpy as np
 
-    from lipvq_tpu.data.dataset import TaskGroupedBatchSampler
+    from lipvq_tpu.data.dataset import TaskPairedBatchSampler
 
     boundaries = [0, 100, 300, 600]
-    s = TaskGroupedBatchSampler(boundaries, [1.0, 1.0, 1.0],
-                                batch_size=16, num_samples=960, seed=0)
+    s = TaskPairedBatchSampler(boundaries, [1.0, 1.0, 1.0],
+                               batch_size=16, num_samples=4800, seed=0)
     idx = np.asarray(list(iter(s)))
-    assert len(idx) == 960
+    assert len(idx) == 4800
     ds_of = np.searchsorted(boundaries, idx, side="right") - 1
-    blocks = ds_of.reshape(-1, 16)
-    assert (blocks == blocks[:, :1]).all(), "mixed-task batch found"
-    # dataset 2 has 3x the items of dataset 0 -> ~3x the batches
-    counts = np.bincount(blocks[:, 0], minlength=3).astype(float)
-    assert counts[2] > counts[0] * 1.5
+    batches = ds_of.reshape(-1, 16)
+    ctx, qry = batches[:, :8], batches[:, 8:]
+    assert (ctx == qry).all(), "ctx/qry halves not task-aligned"
+    # batches MIX tasks (single-task batches measurably slow learning)
+    mixed = (batches.min(axis=1) != batches.max(axis=1)).mean()
+    assert mixed > 0.5
+    # dataset 2 has 3x the items of dataset 0 -> ~3x the slots
+    counts = np.bincount(ctx.ravel(), minlength=3).astype(float)
+    assert 2.0 < counts[2] / counts[0] < 4.5
