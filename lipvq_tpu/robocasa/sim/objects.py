@@ -370,8 +370,27 @@ class KitchenObject:
         elif self.shape == "cylinder":
             cyl(f"{self.name}_g0", r, h / 2, [0, 0, h / 2])
         elif self.shape == "mug":
-            cyl(f"{self.name}_g0", r - 0.008, h / 2, [0, 0, h / 2])
-            box(f"{self.name}_handle", [0.006, 0.018, h / 3], [r + 0.004, 0, h / 2])
+            g = cyl(f"{self.name}_g0", r - 0.008, h / 2, [0, 0, h / 2])
+            if r >= 0.055:
+                # hollow-vessel mass: a solid-density cylinder made
+                # kettles ~0.5kg, whose gravity torque about the handle
+                # pinch rotated them out of the grip mid-lift.
+                # Cup-scale mugs keep the default density — the coffee
+                # experts' pinned seeds are tuned to their dynamics.
+                g.density = 90.0
+                # kettle-scale: body (2r up to 14cm) exceeds the 8cm
+                # gripper aperture, so the handle is the only pinchable
+                # feature (scripted PnPStovePolicy). It stands 22mm off
+                # the wall so a 12mm finger fits in the gap, and is
+                # 24mm thick radially for a torque-resisting patch.
+                box(f"{self.name}_handle", [0.012, 0.018, h / 3],
+                    [r + 0.028, 0, h / 2])
+            else:
+                # cup-scale mugs are straddle-grasped by the body; keep
+                # the compact handle (a long one jams in the coffee
+                # machine head during CoffeeServeMug lifts)
+                box(f"{self.name}_handle", [0.006, 0.018, h / 3],
+                    [r + 0.004, 0, h / 2])
         elif self.shape == "plate":
             cyl(f"{self.name}_g0", r, h / 2, [0, 0, h / 2])
         elif self.shape == "bowl":

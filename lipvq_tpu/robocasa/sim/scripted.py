@@ -70,11 +70,21 @@ def base_action(env, target_xy, target_yaw, grip=-1.0):
 
 
 class Phase:
-    def __init__(self, act_fn, done_fn, budget=120, name=""):
+    def __init__(self, act_fn, done_fn, budget=120, name="",
+                 goto_on_budget=None, retries=0, abort_on_budget=False):
         self.act = act_fn
         self.done = done_fn
         self.budget = budget
         self.name = name
+        # failure recovery: exhausting the budget (done never fired)
+        # jumps back to the phase named ``goto_on_budget`` up to
+        # ``retries`` times instead of marching on — e.g. a verify-held
+        # phase after lift re-enters the approach when the grasp missed
+        self.goto_on_budget = goto_on_budget
+        self.retries = retries
+        # give up entirely once retries are exhausted (ends the episode
+        # instead of walking an empty gripper through the carry tail)
+        self.abort_on_budget = abort_on_budget
 
 
 class ScriptedPolicy:
@@ -89,17 +99,42 @@ class ScriptedPolicy:
         self._phases = None
         self._idx = 0
         self._t = 0
+        self._retries_left = {}
 
     def build_phases(self, env):
         raise NotImplementedError
+
+    def _jump(self, name):
+        for i, p in enumerate(self._phases):
+            if p.name == name:
+                self._idx = i
+                self._t = 0
+                return True
+        return False
 
     def get_action(self, obs=None):
         env = self.env
         if self._phases is None:
             self._phases = self.build_phases(env)
+            self._retries_left = {
+                i: p.retries for i, p in enumerate(self._phases) if p.retries
+            }
         while self._idx < len(self._phases):
             ph = self._phases[self._idx]
-            if self._t >= ph.budget or ph.done(env):
+            if ph.done(env):
+                self._idx += 1
+                self._t = 0
+                continue
+            if self._t >= ph.budget:
+                cur = self._idx
+                if (ph.goto_on_budget
+                        and self._retries_left.get(cur, 0) > 0
+                        and self._jump(ph.goto_on_budget)):
+                    self._retries_left[cur] -= 1
+                    continue
+                if ph.abort_on_budget:
+                    self._idx = len(self._phases)
+                    break
                 self._idx += 1
                 self._t = 0
                 continue
@@ -876,11 +911,25 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
                       carry_gain=0.3, name="", above_dz=0.18,
                       skip_torso_down=False, grasp_pt_fn=None,
                       wrist_yaw=None, withdraw_fn=None,
-                      torso_down_mid=False, stage_fn=None):
+                      torso_down_mid=False, stage_fn=None,
+                      reach_phase=False, verify_grasp=False,
+                      carry_obj_offset=False):
     """Reusable straddle-grasp pick-and-place phase list: approach
     above the object, descend, close until held, lift to a fixed
     height, carry over ``dest_fn(env)``, release, rise, back off
-    (the gripper_obj_far predicates need >0.25m clearance)."""
+    (the gripper_obj_far predicates need >0.25m clearance).
+
+    The recovery mechanisms are opt-in per task family — each altered
+    the trajectory enough to break pinned seeds of tasks that never
+    needed it:
+    - ``reach_phase``: sidestep the base until the grasp point is
+      inside the arm's ~0.92m reach envelope before approaching.
+    - ``verify_grasp``: after the lift, confirm the object is held for
+      a few steps; a missed pinch re-enters the approach (3 retries)
+      instead of carrying an empty gripper, then aborts the episode.
+    - ``carry_obj_offset``: aim the carry at dest + the eef->object
+      offset captured at carry entry — for handle grasps (pan/kettle)
+      the payload rides 8-10cm off the eef axis."""
 
     def opos(e):
         return e.object_pos(obj_name)
@@ -927,6 +976,22 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
 
     lift_state = {"z": None}
     out_state = {"z": None}
+    carry_state = {"off": None}
+
+    def _carry_tgt(e):
+        if grasp_pt_fn is None or not carry_obj_offset:
+            return dest_fn(e)
+        if carry_state["off"] is None:
+            off = e.eef_pos()[:2] - opos(e)[:2]
+            # a dropped payload would teleport the target; cap the
+            # compensation at a plausible handle offset
+            n = np.linalg.norm(off)
+            if n > 0.16:
+                off = off * (0.16 / n)
+            carry_state["off"] = off
+        d = dest_fn(e)
+        return np.array([d[0] + carry_state["off"][0],
+                         d[1] + carry_state["off"][1], d[2]])
 
     def lift_act(e):
         if lift_state["z"] is None:
@@ -958,14 +1023,43 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         return e.get_joint_qpos("robot0_torso_joint") <= 0.02
 
     tag = name or obj_name
+
+    def _pick_pt(e):
+        return grasp_pt_fn(e) if grasp_pt_fn is not None else opos(e)
+
+    def reach_ok(e):
+        # the arm tops out ~1.0m of horizontal reach from the base;
+        # beyond ~0.9m the above/descend servos stall at full extension
+        # (observed: pan-handle seeds stuck 8cm short for 260 steps)
+        b = e.data.body("robot0_base").xpos
+        return np.linalg.norm(_pick_pt(e)[:2] - b[:2]) < 0.92
+
+    def reach_act(e):
+        # re-entered on every grasp retry: clear per-attempt captures
+        lift_state["z"] = None
+        carry_state["off"] = None
+        p = _pick_pt(e)
+        b = e.data.body("robot0_base").xpos
+        v = b[:2] - p[:2]
+        v = v / max(np.linalg.norm(v), 1e-6)
+        return base_action(e, p[:2] + v * 0.80, _base_yaw(e))
+
     torso_down = [] if skip_torso_down else [
         # neutral torso first: a raised torso shifts the whole arm z
         # range up and counter-height objects fall out of reach
         Phase(torso_cmd(-1.0, grip=-1.0), torso_neutral_done,
               budget=50, name=f"torso_down:{tag}"),
     ]
-    return torso_down + [
-        Phase(_track(above, grip=-1.0, wrist_yaw=wrist_yaw),
+    return torso_down + ([] if not reach_phase else [
+        # sidestep the base until the grasp point is inside the arm's
+        # reach envelope (no-op when it already is)
+        Phase(reach_act, reach_ok, budget=140, name=f"reach:{tag}"),
+    ]) + [
+        # re-entered on every grasp retry: clear per-attempt captures
+        Phase(lambda e: (lift_state.update(z=None),
+                         carry_state.update(off=None),
+                         _track(above, grip=-1.0, wrist_yaw=wrist_yaw)(e)
+                         )[-1],
               lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
               budget=260, name=f"above:{tag}"),
         Phase(_track(at_obj, grip=-1.0, gain=0.5, wrist_yaw=wrist_yaw),
@@ -977,7 +1071,18 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         # fixed lift target captured at phase entry (a target that
         # tracks the held object chases itself upward)
         Phase(lift_act, lift_done, budget=80, name=f"lift:{tag}"),
-    ] + ([] if withdraw_fn is None else [
+    ] + ([] if not verify_grasp else [
+        # verify the grasp actually took before carrying: a missed
+        # pinch used to march the empty gripper through the whole
+        # carry/release tail (observed in 6/20 stove-PnP seeds) —
+        # instead jump back to the approach and re-grasp (grasp points
+        # recompute from the object's current pose)
+        Phase(lambda e: arm_action(e, e.eef_pos(), grip=1.0),
+              held, budget=4, name=f"verify:{tag}",
+              goto_on_budget=(f"reach:{tag}" if reach_phase
+                              else f"above:{tag}"), retries=3,
+              abort_on_budget=True),
+    ]) + ([] if withdraw_fn is None else [
         # high-source tasks: pull straight out of the shelf/cavity at
         # constant height before any vertical travel
         Phase(lambda e: arm_action(e, withdraw_fn(e), grip=1.0, gain=0.2),
@@ -1017,19 +1122,28 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
               budget=200, name=f"dest_stage:{tag}"),
     ]) + [
         # converge in 3D before releasing: dropping from height
-        # bounces/rolls cylindrical objects off their receptacle
-        Phase(lambda e: arm_action(e, dest_fn(e), grip=1.0,
+        # bounces/rolls cylindrical objects off their receptacle.
+        # ``dest_fn`` says where the OBJECT should land — handle grasps
+        # (pan/kettle) hold the body 8-10cm off the eef axis, so aim
+        # the eef at dest + the current eef->object offset (captured at
+        # carry entry; recomputing it live chases a swinging payload)
+        Phase(lambda e: arm_action(e, _carry_tgt(e), grip=1.0,
                                    gain=carry_gain),
-              lambda e: np.linalg.norm(e.eef_pos() - dest_fn(e)) < 0.04,
+              lambda e: np.linalg.norm(e.eef_pos() - _carry_tgt(e)) < 0.04,
               budget=400, name=f"carry:{tag}"),
-        Phase(lambda e: arm_action(e, dest_fn(e), grip=-1.0),
+        Phase(lambda e: arm_action(e, _carry_tgt(e), grip=-1.0),
               lambda e: not held(e), budget=30, name=f"release:{tag}"),
-        # success needs gripper_obj_far (> 0.25m): rise straight up
-        # (lateral motion can fling the just-released object), then
-        # back off toward the base
+        # success needs gripper_obj_far (> 0.25m): rise mostly straight
+        # up (strong lateral motion can fling the just-released object).
+        # Handle-grasp payloads get a slight base-ward drift — a
+        # perfectly vertical rise can hook an open finger under a
+        # kettle/pan handle and drag it along
         Phase(lambda e: arm_action(
             e, np.array([e.eef_pos()[0], e.eef_pos()[1],
-                         opos(e)[2] + 0.4]), grip=-1.0, gain=0.5),
+                         opos(e)[2] + 0.4])
+            + (0.10 if carry_obj_offset else 0.0)
+            * (e.data.body("robot0_base").xpos - e.eef_pos())
+            * np.array([1, 1, 0]), grip=-1.0, gain=0.5),
             lambda e: e.eef_pos()[2] > opos(e)[2] + 0.3,
             budget=60, name=f"rise:{tag}"),
         Phase(lambda e: arm_action(
@@ -1395,7 +1509,11 @@ class PnPStovePolicy(ScriptedPolicy):
         base = env.data.body("robot0_base").xpos
 
         def stove_dest(e):
+            # pull the drop point 40% toward the stove center: burner
+            # samples near the rim let a tipping kettle roll off the
+            # edge (success = stove contact, not burner alignment)
             c, _ = stove.sample_region(locs=["front_left"])
+            c = np.array([c[0] * 0.6, c[1] * 0.6, c[2]])
             return stove.to_world(c + np.array([0, 0, 0.07]))
 
         def counter_dest(e):
@@ -1409,11 +1527,18 @@ class PnPStovePolicy(ScriptedPolicy):
 
         dest = stove_dest if to_stove else counter_dest
 
-        if obj.shape == "pan":
-            # handle bar: grasp its midpoint, fingers across the bar
+        if obj.shape in ("pan", "mug"):
+            # handle grasp: pan handles are radial bars; kettle/teapot
+            # ("mug" shape) bodies are SOLID cylinders wider than the
+            # 8cm gripper aperture (observed: every kettle stove-PnP
+            # seed failed the rim pinch with the right finger pressed on
+            # the outer wall), so their stand-off side handle is the
+            # only pinchable feature. Both close fingers ACROSS the
+            # handle (perpendicular to the radial direction) — the
+            # tangential approach also keeps both fingers clear of the
+            # kettle body during the descent.
             def grasp_pt(e):
-                hp = e.geom_xpos("obj_handle")
-                return hp + np.array([0, 0, 0.0])
+                return e.geom_xpos("obj_handle")
 
             def u_dir(e):
                 hp = e.geom_xpos("obj_handle")
@@ -1422,7 +1547,6 @@ class PnPStovePolicy(ScriptedPolicy):
                 return v / max(np.linalg.norm(v), 1e-6)
 
             u = u_dir(env)
-            # fingers close ACROSS the handle: along the perpendicular
             perp = np.array([-u[1], u[0]])
             wy = _wrist_yaw_for(env, perp)
         else:
@@ -1442,7 +1566,8 @@ class PnPStovePolicy(ScriptedPolicy):
 
         return pick_place_phases(
             "obj", dest, grasp_pt_fn=grasp_pt, wrist_yaw=wy,
-            above_dz=0.12, carry_gain=0.22, lift_dz=0.20,
+            above_dz=0.12, carry_gain=0.12, lift_dz=0.20,
+            reach_phase=True, verify_grasp=True, carry_obj_offset=True,
         )
 
 

@@ -58,12 +58,12 @@ RELIABLE = {
     "PnPCounterToMicrowave": (0, 1),
     "PnPMicrowaveToCounter": (1,),
     "PnPCounterToStove": (1,),
-    "PnPStoveToCounter": (0,),
+    "PnPStoveToCounter": (2, 5),
     "CoffeeSetupMug": (0, 1),
     "CoffeeServeMug": (0, 1),
     "ArrangeVegetables": (3,),
     "MicrowaveThawing": (0,),
-    "RestockPantry": (4,),
+    "RestockPantry": (16,),
     "PreSoakPan": (0,),
     "PrepareCoffee": (0, 4),
 }
