@@ -81,9 +81,16 @@ def make_config(args, paths):
         "data": [{"path": p, "weight": 1.0} for p in paths.values()],
         "num_epochs": args.epochs,
         "batch_size": 64,
-        # same-task context/query pairing (mixed-task batches turn the
-        # ICL context signal into noise after halving)
-        "group_task_batches": True,
+        # task-aligned context/query pairing is OFF: measured across
+        # three 50-epoch suite runs, plain shuffling reached LL 55.6 and
+        # 0.275 mean closed-loop success; single-task batches (v3) and
+        # task-paired halves (v4) both optimized slower (LL 37 / 46.9)
+        # and scored 0.0 closed-loop even with goal-matched eval
+        # contexts. With per-frame lang_emb identifying the goal, the
+        # cross-task "noise" context regularizes the policy into
+        # lang-reliance, which is what transfers to rollouts.
+        "group_task_batches": bool(getattr(args, "pair_task_batches",
+                                           False)),
         "output_dir": os.path.join(args.out, "run"),
     })
     d["experiment"].update({
@@ -186,12 +193,22 @@ def main():
                          "(closed-loop manipulation needs ~0.05: noise-free "
                          "corpora leave the policy no recovery data)")
     ap.add_argument("--recollect", action="store_true")
+    ap.add_argument("--pair_task_batches", action="store_true",
+                    help="task-aligned ctx/qry batch halves (measured "
+                         "worse closed-loop than plain shuffling — see "
+                         "make_config)")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the newest checkpoint in --out/run")
+    ap.add_argument("--collect_only", action="store_true",
+                    help="stop after corpus collection (e.g. when the "
+                         "TPU is unavailable)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     paths = collect(args)
+    if args.collect_only:
+        print("[collect] done (collect_only)", flush=True)
+        return
 
     import glob
 

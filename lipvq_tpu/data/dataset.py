@@ -446,7 +446,14 @@ class TaskPairedBatchSampler:
     keeps per-step gradients task-mixed AND pairs aligned: for each of
     ``batch_size/2`` slots it draws one task (probability proportional
     to total item weight) and one (context, query) index pair from that
-    task, emitting all contexts first, then the matching queries."""
+    task, emitting all contexts first, then the matching queries.
+
+    Measured caveat (BASELINE.md round-3 ablation): on the 8-task
+    kitchen suite with per-frame lang_emb goals, plain shuffling beat
+    both this sampler and single-task batches closed-loop — informative
+    contexts taught the policy to lean on them, which did not transfer
+    to rollouts. Prefer plain shuffling unless the protocol genuinely
+    requires in-context adaptation without language."""
 
     def __init__(self, boundaries, ds_weights, batch_size: int,
                  num_samples: int, seed: int = 0,
