@@ -33,6 +33,17 @@ def test_reexec_branch_with_initialized_small_backend():
     # 1-device CPU backend, initialized before dryrun_multichip runs
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    # `import jax` in a fresh interpreter runs the axon plugin
+    # registration (sitecustomize), which retry-loops forever when the
+    # device tunnel is down — even under JAX_PLATFORMS=cpu. Probe it
+    # with a bounded subprocess and skip rather than hang the suite.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=env, capture_output=True, timeout=180,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("axon plugin registration hangs: device tunnel down")
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT.format(repo=REPO)],
         env=env,
