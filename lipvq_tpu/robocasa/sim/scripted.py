@@ -977,6 +977,7 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
     lift_state = {"z": None}
     out_state = {"z": None}
     carry_state = {"off": None}
+    verify_state = {"z0": None}
 
     def _carry_tgt(e):
         if grasp_pt_fn is None or not carry_obj_offset:
@@ -1058,6 +1059,7 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         # re-entered on every grasp retry: clear per-attempt captures
         Phase(lambda e: (lift_state.update(z=None),
                          carry_state.update(off=None),
+                         verify_state.update(z0=None),
                          _track(above, grip=-1.0, wrist_yaw=wrist_yaw)(e)
                          )[-1],
               lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
@@ -1065,8 +1067,13 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         Phase(_track(at_obj, grip=-1.0, gain=0.5, wrist_yaw=wrist_yaw),
               lambda e: np.linalg.norm(e.eef_pos() - at_obj(e)) < 0.015,
               budget=140, name=f"descend:{tag}"),
-        Phase(lambda e: arm_action(e, at_obj(e), grip=1.0,
-                                   wrist_yaw=wrist_yaw),
+        # capture the object's resting height while pinching — the
+        # verify phase's "did it rise with the lift" test needs it
+        Phase(lambda e: (verify_state.update(
+                             z0=(verify_state["z0"] if verify_state["z0"]
+                                 is not None else float(opos(e)[2]))),
+                         arm_action(e, at_obj(e), grip=1.0,
+                                    wrist_yaw=wrist_yaw))[-1],
               grasp_done, budget=40, name=f"grasp:{tag}"),
         # fixed lift target captured at phase entry (a target that
         # tracks the held object chases itself upward)
@@ -1076,9 +1083,17 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         # pinch used to march the empty gripper through the whole
         # carry/release tail (observed in 6/20 stove-PnP seeds) —
         # instead jump back to the approach and re-grasp (grasp points
-        # recompute from the object's current pose)
+        # recompute from the object's current pose). The test is "did
+        # the object rise with the lift": the finger-contact check both
+        # false-negatives on thin payloads (sponge, pan handle compress
+        # the fingers below the joint window) and false-positives when
+        # a finger merely brushes the object while closing on air.
         Phase(lambda e: arm_action(e, e.eef_pos(), grip=1.0),
-              held, budget=4, name=f"verify:{tag}",
+              lambda e: (
+                  float(opos(e)[2]) > verify_state["z0"]
+                  + min(0.08, 0.5 * lift_dz)
+                  if verify_state["z0"] is not None else held(e)),
+              budget=4, name=f"verify:{tag}",
               goto_on_budget=(f"reach:{tag}" if reach_phase
                               else f"above:{tag}"), retries=3,
               abort_on_budget=True),
@@ -1375,23 +1390,50 @@ class PreSoakPanPolicy(ScriptedPolicy):
             return sink.to_world(c + np.array([0, 0, 0.25]))
 
         # grasp_dz=+0.005: pinch the flat sponge near its top edge —
-        # the default bottom-sliver pinch slips out during the lift
-        phases = pick_place_phases("obj2", sink_dest, carry_gain=0.18,
-                                   name="sponge", grasp_dz=0.005)
+        # the default bottom-sliver pinch slips out during the lift.
+        # reach/verify recovery: the sponge can spawn on a counter
+        # segment ~0.9m from the sink-parked base (observed: every
+        # failing seed left it untouched at its spawn), so sidestep
+        # into reach and re-grasp on a missed pinch
+        def sponge_dest(e):
+            # release the foam sponge LOW (+0.12 vs the pan's +0.25):
+            # a 25cm drop bounces it off the basin walls onto the floor
+            c, _ = sink.sample_region()
+            return sink.to_world(c + np.array([0, 0, 0.12]))
+
+        # grasp_dz=-0.005: pinch the foam sponge at its MIDDLE — a
+        # top-edge pinch leaves a sliver of foam that squirts out of
+        # the fingers (observed: the sponge popped upward as the
+        # fingers closed, briefly passing the verify rise test)
+        phases = pick_place_phases("obj2", sponge_dest, carry_gain=0.18,
+                                   name="sponge", grasp_dz=-0.005,
+                                   reach_phase=True, verify_grasp=True)
         # the pan is hollow (objects.py pan rim): grasp its handle bar
         # with the fingers closing across it
-        def pan_grasp(e):
-            return e.geom_xpos("obj1_handle") + np.array([0, 0, 0.0])
+        def _u(e):
+            hp = e.geom_xpos("obj1_handle")
+            o = e.object_pos("obj1")
+            v = hp[:2] - o[:2]
+            return v / max(np.linalg.norm(v), 1e-6)
 
-        o = env.object_pos("obj1")
-        hp = env.geom_xpos("obj1_handle")
-        u = hp[:2] - o[:2]
-        u = u / max(np.linalg.norm(u), 1e-6)
+        def pan_grasp(e):
+            # pinch the handle bar near its ROOT (3.5cm body-ward of
+            # the bar center): an end pinch leaves a ~0.25 N*m gravity
+            # torque that rotates the pan out of the fingertips during
+            # the lift (observed: fingers closed to the bar, eef at the
+            # handle within 1mm, payload slid out by lift+7 steps)
+            hp = e.geom_xpos("obj1_handle")
+            u = _u(e)
+            return hp - np.array([u[0], u[1], 0.0]) * 0.035
+
+        u = _u(env)
         perp = np.array([-u[1], u[0]])
         phases += pick_place_phases("obj1", sink_dest, carry_gain=0.2,
                                     name="pan", grasp_pt_fn=pan_grasp,
                                     wrist_yaw=_wrist_yaw_for(env, perp),
-                                    above_dz=0.12)
+                                    above_dz=0.12,
+                                    reach_phase=True, verify_grasp=True,
+                                    carry_obj_offset=True)
         faucet = SinkFaucetPolicy.__new__(SinkFaucetPolicy)
         faucet.env = env
 
