@@ -501,7 +501,10 @@ class MetaDataset:
         for ds in datasets:
             # reference quirk: cache mode "all" asserted unsupported under
             # MetaDataset (dataset.py:1080-1082)
-            assert ds.hdf5_cache_mode != "all" or len(datasets) == 1 or True
+            assert not (ds.hdf5_cache_mode == "all" and len(datasets) > 1), (
+                "MetaDataset does not support hdf5_cache_mode='all' "
+                "(reference dataset.py:1080-1082)"
+            )
         self.datasets = datasets
         self.ds_lengths = [len(ds) for ds in datasets]
         self.ds_weights = list(ds_weights or [1.0] * len(datasets))
