@@ -79,6 +79,10 @@ def make_config(args, paths):
     d = icl_test_config_overrides()
     d["train"].update({
         "data": [{"path": p, "weight": 1.0} for p in paths.values()],
+        # MetaDataset rejects hdf5_cache_mode="all" (reference quirk,
+        # dataset.py:1080-1082); per-demo low_dim caching is equivalent
+        # for these proprio-only corpora
+        "hdf5_cache_mode": "low_dim",
         "num_epochs": args.epochs,
         "batch_size": 64,
         # task-aligned context/query pairing is OFF: measured across

@@ -36,7 +36,7 @@ V5E_BF16_PEAK = 197e12  # chip peak (marketing bf16)
 V5E_R2_PEAK = 39.6e12  # the round-2 comparison figure (per-core fp32-ish)
 
 
-def make_lowdim_model(batch_size):
+def make_lowdim_model(batch_size, compute_dtype="float32"):
     import lipvq_tpu.algo  # noqa: F401
     from lipvq_tpu.algo.base import algo_factory
     from lipvq_tpu.config import config_factory
@@ -57,6 +57,7 @@ def make_lowdim_model(batch_size):
                 "pred_future_acs": True, "causal": False,
                 "embed_dim": 512, "num_layers": 6, "num_heads": 8,
                 "vq_vae_enabled": True, "ln_act_enabled": False,
+                "compute_dtype": compute_dtype,
             },
             "vq": {"num_codes": 1024},
         },
@@ -67,7 +68,7 @@ def make_lowdim_model(batch_size):
     return model, obs_key_shapes
 
 
-def make_image_model(batch_size=16, img=128):
+def make_image_model(batch_size=16, img=128, compute_dtype="float32"):
     import lipvq_tpu.algo  # noqa: F401
     from lipvq_tpu.algo.base import algo_factory
     from lipvq_tpu.config import config_factory
@@ -90,6 +91,7 @@ def make_image_model(batch_size=16, img=128):
                 "pred_future_acs": True, "causal": False,
                 "embed_dim": 512, "num_layers": 6, "num_heads": 8,
                 "vq_vae_enabled": True, "ln_act_enabled": False,
+                "compute_dtype": compute_dtype,
             },
             "vq": {"num_codes": 1024},
         },
@@ -157,21 +159,27 @@ def measure(model, batch, iters=30, reps=3):
 
 
 def step_flops(model, batch):
+    """-> (flops, bytes_accessed) from XLA cost analysis."""
     try:
         lowered = model._jit_train_step.lower(model.state, batch)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        return float(cost.get("flops", float("nan")))
+        return (float(cost.get("flops", float("nan"))),
+                float(cost.get("bytes accessed", float("nan"))))
     except Exception as e:  # pragma: no cover - backend-specific
         print(f"cost_analysis failed: {e}", file=sys.stderr)
-        return float("nan")
+        return float("nan"), float("nan")
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("lowdim", "image"), default="lowdim")
     ap.add_argument("--batches", type=int, nargs="*", default=None)
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="backbone compute dtype (the round-2 bench and "
+                         "the shipped template use bfloat16)")
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args(argv)
@@ -183,15 +191,16 @@ def main(argv=None):
                                if args.mode == "lowdim" else [16, 32, 64])
     for b in batches:
         if args.mode == "lowdim":
-            model, shapes = make_lowdim_model(b)
+            model, shapes = make_lowdim_model(b, compute_dtype=args.dtype)
         else:
-            model, shapes = make_image_model(b)
+            model, shapes = make_image_model(b, compute_dtype=args.dtype)
         batch = device_batch(model, shapes, b)
-        flops = step_flops(model, batch)
+        flops, nbytes = step_flops(model, batch)
         dt = measure(model, batch, iters=args.iters)
         tflops = flops / dt / 1e12 if np.isfinite(flops) else float("nan")
         row = {
             "mode": args.mode,
+            "dtype": args.dtype,
             "batch": b,
             "step_ms": round(dt * 1e3, 2),
             "samples_per_s": round(b / dt, 1),
@@ -199,6 +208,11 @@ def main(argv=None):
             "achieved_tflops": round(tflops, 2),
             "mfu_vs_v5e_bf16_peak": round(100 * tflops * 1e12 / V5E_BF16_PEAK, 1),
             "mfu_vs_r2_figure": round(100 * tflops * 1e12 / V5E_R2_PEAK, 1),
+            # HBM roofline: v5e ~819 GB/s. When hbm_floor_ms ~= step_ms
+            # the step is bandwidth-bound and a faster MXU cannot help.
+            "step_gbytes": round(nbytes / 1e9, 2),
+            "hbm_floor_ms": round(nbytes / 819e9 * 1e3, 2),
+            "hbm_bw_util": round(100 * nbytes / 819e9 / dt, 1),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
