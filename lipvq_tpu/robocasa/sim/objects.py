@@ -70,8 +70,8 @@ OBJ_CATEGORIES = {
     "bagged_food": _c("packaged_food", "f", "oa", "box", 0.05, 0.14, (0.85, 0.75, 0.55, 1)),
     "baguette": _c("bread_food", "gf", "oa", "stick", 0.14, 0.05, (0.82, 0.62, 0.35, 1)),
     "banana": _c("fruit", "gw", "oa", "stick", 0.09, 0.035, (0.92, 0.82, 0.25, 1)),
-    "bar": _c("packaged_food", "gf", "oa", "box", 0.045, 0.02, (0.6, 0.4, 0.25, 1)),
-    "bar_soap": _c("cleaner", "gw", "oa", "box", 0.04, 0.025, (0.9, 0.88, 0.8, 1)),
+    "bar": _c("packaged_food", "gf", "oa", "box", 0.045, 0.035, (0.6, 0.4, 0.25, 1)),
+    "bar_soap": _c("cleaner", "gw", "oa", "box", 0.04, 0.035, (0.9, 0.88, 0.8, 1)),
     "beer": _c(("drink", "alcohol"), "gw", "oa", "bottle", 0.032, 0.2, (0.45, 0.28, 0.12, 1)),
     "bell_pepper": _c("vegetable", "gwmcf", "oa", "sphere", 0.038, 0.085, (0.85, 0.2, 0.12, 1)),
     "bottled_drink": _c("drink", "gwf", "oa", "bottle", 0.03, 0.16, (0.3, 0.55, 0.35, 0.9)),
@@ -101,7 +101,7 @@ OBJ_CATEGORIES = {
     "donut": _c(("sweets", "pastry"), "gf", "oa", "plate", 0.04, 0.03, (0.85, 0.55, 0.45, 1)),
     "egg": _c("dairy", "gwmcf", "oa", "sphere", 0.022, 0.05, (0.95, 0.92, 0.85, 1)),
     "eggplant": _c("vegetable", "gwmcf", "oa", "sphere", 0.035, 0.1, (0.35, 0.15, 0.4, 1)),
-    "fish": _c("meat", "gwmcf", "oa", "box", 0.06, 0.025, (0.75, 0.65, 0.6, 1)),
+    "fish": _c("meat", "gwmcf", "oa", "box", 0.06, 0.04, (0.75, 0.65, 0.6, 1)),
     "fork": _c("utensil", "wmc", "oa", "stick", 0.08, 0.012, (0.75, 0.75, 0.78, 1)),
     "garlic": _c("vegetable", "gwmcf", "oa", "sphere", 0.022, 0.045, (0.92, 0.9, 0.85, 1)),
     "hot_dog": _c("cooked_food", "gmf", "oa", "stick", 0.07, 0.03, (0.8, 0.45, 0.3, 1)),
@@ -136,7 +136,7 @@ OBJ_CATEGORIES = {
     "spoon": _c("utensil", "wmc", "oa", "stick", 0.07, 0.015, (0.72, 0.72, 0.75, 1)),
     "spray": _c("cleaner", "gw", "oa", "bottle", 0.035, 0.22, (0.4, 0.65, 0.85, 1)),
     "squash": _c("vegetable", "gwmcf", "oa", "sphere", 0.04, 0.1, (0.9, 0.75, 0.3, 1)),
-    "steak": _c("meat", "gwmcf", "oa", "box", 0.05, 0.03, (0.55, 0.2, 0.18, 1)),
+    "steak": _c("meat", "gwmcf", "oa", "box", 0.05, 0.038, (0.55, 0.2, 0.18, 1)),
     "sweet_potato": _c("vegetable", "gwmcf", "oa", "sphere", 0.03, 0.09, (0.7, 0.4, 0.25, 1)),
     "tangerine": _c("fruit", "gw", "oa", "sphere", 0.03, 0.06, (0.95, 0.6, 0.15, 1)),
     "teapot": _c("receptacle", "gw", "oa", "mug", 0.07, 0.1, (0.8, 0.75, 0.7, 1)),
@@ -178,7 +178,7 @@ OBJ_CATEGORIES = {
     "olive_oil_bottle": _c("packaged_food", "gf", "a", "bottle", 0.03, 0.2, (0.55, 0.6, 0.25, 0.9)),
     "kebabs": _c("cooked_food", "gmcf", "a", "stick", 0.1, 0.025, (0.65, 0.35, 0.22, 1)),
     "bottle_opener": _c("tool", "wf", "a", "stick", 0.05, 0.012, (0.5, 0.5, 0.53, 1)),
-    "chicken_breast": _c("meat", "gwmcf", "a", "box", 0.05, 0.03, (0.95, 0.8, 0.7, 1)),
+    "chicken_breast": _c("meat", "gwmcf", "a", "box", 0.05, 0.038, (0.95, 0.8, 0.7, 1)),
     "jello_cup": _c("packaged_food", "gf", "a", "cylinder", 0.03, 0.05, (0.85, 0.35, 0.4, 0.9)),
     "lobster": _c("meat", "gwmcf", "a", "box", 0.09, 0.04, (0.75, 0.25, 0.15, 1)),
     "brussel_sprout": _c("vegetable", "gwmcf", "a", "sphere", 0.02, 0.04, (0.45, 0.65, 0.3, 1)),
@@ -186,7 +186,7 @@ OBJ_CATEGORIES = {
     "baking_sheet": _c("receptacle", "w", "a", "board", 0.17, 0.012, (0.55, 0.52, 0.5, 1)),
     "wine_glass": _c("receptacle", "gwmf", "a", "glass", 0.035, 0.16, (0.9, 0.92, 0.95, 0.5)),
     "asparagus": _c("vegetable", "gwmcf", "a", "stick", 0.1, 0.015, (0.45, 0.65, 0.35, 1)),
-    "lamb_chop": _c("meat", "gwmcf", "a", "box", 0.05, 0.03, (0.7, 0.35, 0.3, 1)),
+    "lamb_chop": _c("meat", "gwmcf", "a", "box", 0.05, 0.038, (0.7, 0.35, 0.3, 1)),
     "pickle": _c("vegetable", "gwf", "a", "cylinder", 0.015, 0.08, (0.4, 0.55, 0.25, 1)),
     "bacon": _c("meat", "mc", "a", "stick", 0.08, 0.015, (0.75, 0.4, 0.35, 1)),
     "canola_oil": _c("packaged_food", "g", "a", "bottle", 0.035, 0.22, (0.85, 0.78, 0.4, 0.9)),
@@ -206,7 +206,7 @@ OBJ_CATEGORIES = {
     "vinegar": _c(("packaged_food", "condiment"), "g", "a", "bottle", 0.03, 0.2, (0.8, 0.75, 0.6, 0.85)),
     "zucchini": _c("vegetable", "gwmcf", "a", "cylinder", 0.022, 0.14, (0.25, 0.42, 0.18, 1)),
     "pork_loin": _c("meat", "gwmcf", "a", "box", 0.06, 0.05, (0.85, 0.6, 0.55, 1)),
-    "pork_chop": _c("meat", "gwmcf", "a", "box", 0.05, 0.025, (0.85, 0.62, 0.55, 1)),
+    "pork_chop": _c("meat", "gwmcf", "a", "box", 0.05, 0.038, (0.85, 0.62, 0.55, 1)),
     "sausage": _c("meat", "gwmcf", "a", "cylinder", 0.015, 0.1, (0.7, 0.35, 0.25, 1)),
     "coconut": _c("fruit", "w", "a", "sphere", 0.05, 0.1, (0.5, 0.38, 0.28, 1)),
     "cauliflower": _c("vegetable", "wmcf", "a", "sphere", 0.055, 0.11, (0.92, 0.9, 0.85, 1)),
@@ -361,6 +361,17 @@ class KitchenObject:
             g.density = 300.0
             return g
 
+        # graspable solids must FIT THE GRIPPER: the parallel fingers
+        # open ~8cm, so a "graspable" category whose pinch dimension
+        # exceeds that is unpickable by construction (observed: a
+        # 12.5cm-wide fish slab pinched then squirted out of the
+        # closing fingers on every MicrowaveThawing seed). The
+        # reference's asset zoo sizes graspable meshes to the gripper;
+        # mirror that by clamping the solid-shape cross-section.
+        if self.graspable and self.shape in ("box", "sphere", "cylinder",
+                                             None):
+            r = min(r, 0.036)
+
         if self.shape == "sphere":
             g = body.add_geom(
                 name=f"{self.name}_g0", type=mujoco.mjtGeom.mjGEOM_SPHERE,
@@ -394,7 +405,12 @@ class KitchenObject:
         elif self.shape == "plate":
             cyl(f"{self.name}_g0", r, h / 2, [0, 0, h / 2])
         elif self.shape == "bowl":
-            cyl(f"{self.name}_g0", r, h / 2, [0, 0, h / 2])
+            # hollow like pot/pan: a solid 14cm cylinder gave the
+            # gripper nothing to pinch (aperture 8cm); the 1cm rim wall
+            # is the graspable feature, and food can sit inside
+            cyl(f"{self.name}_g0", r, 0.005, [0, 0, 0.005])
+            self._rim(body, box, r, wall_h=max(h - 0.01, 0.02), z0=0.01,
+                      n=8)
         elif self.shape == "pan":
             # hollow: base disc + rim wall segments — the rim gives the
             # gripper a pinchable 1cm wall and food sits inside

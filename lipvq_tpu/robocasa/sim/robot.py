@@ -122,6 +122,20 @@ def build_robot(spec, base_pos=(0.0, -1.5, 0.0), base_yaw=0.0):
         fg.contype, fg.conaffinity = 2, 3
         fg.friction = [2.0, 0.05, 0.0002]
         fg.density = 600.0
+        # Firm pinch contacts. MuJoCo's default solref scales contact
+        # stiffness with the touched body's inertia, so light objects
+        # (a 0.1 kg can) yield: the kp-1000 finger servo pressed
+        # straight through them (observed: both fingers "closed" to
+        # q~0.04 with a 6.6cm can between them, which then slid down
+        # through the grip during lifts). priority=1 makes these
+        # solparams + the high finger friction govern the pair.
+        # timeconst 0.01 = 5x the 2ms physics step: firm enough to
+        # stop penetration, but clear of the 2*dt stability bound
+        # ([0.004, 1.0] sat exactly on it and stiff-oscillated — the
+        # arm visibly jammed against counters/drawer faces).
+        fg.priority = 1
+        fg.solref = [0.01, 1.0]
+        fg.solimp = [0.95, 0.99, 0.001, 0.5, 2.0]
 
     # mirror the fingers through an equality so one actuator drives both
     eq = spec.add_equality()

@@ -282,7 +282,37 @@ class CloseDrawerPolicy(ScriptedPolicy):
         def seated(e):
             return frac(e) < 0.03
 
+        def stand_pt(e):
+            return bar(e)[:2] + front[:2] * 0.62
+
+        def stood(e):
+            b = e.data.body("robot0_base").xpos[:2]
+            # enough standoff that the eef can get IN FRONT of the bar:
+            # a fully-open drawer protrudes ~0.35m and the default
+            # vantage leaves the closed fingers behind the box front
+            return (np.linalg.norm(b - stand_pt(e)) < 0.10
+                    or float((b - bar(e)[:2]) @ front[:2]) > 0.50)
+
         return [
+            # lift the peg above the bar BEFORE backing up: retreating
+            # with the eef at bar height hooks the fingers on the far
+            # side of the handle (firm contacts don't slip through),
+            # leaving the whole approach wedged behind the drawer front
+            Phase(lambda e: arm_action(
+                      e, np.array([e.eef_pos()[0], e.eef_pos()[1],
+                                   bar(e)[2] + 0.30]), grip=1.0, gain=0.6),
+                  lambda e: e.eef_pos()[2] > bar(e)[2] + 0.24,
+                  budget=50, name="tuck"),
+            Phase(lambda e: base_action(e, stand_pt(e), _base_yaw(e),
+                                        grip=1.0),
+                  stood, budget=120, name="stand"),
+            # come in above bar height, then drop onto the front point
+            Phase(_track(lambda e: bar(e) + front * 0.12
+                         + np.array([0, 0, 0.20]), grip=1.0),
+                  lambda e: np.linalg.norm(
+                      e.eef_pos() - (bar(e) + front * 0.12
+                                     + np.array([0, 0, 0.20]))) < 0.03,
+                  budget=120, name="high_front"),
             Phase(_track(lambda e: bar(e) + front * 0.12, grip=1.0),
                   lambda e: np.linalg.norm(e.eef_pos() - (bar(e) + front * 0.12)) < 0.02,
                   budget=200, name="front"),
@@ -366,7 +396,7 @@ class OpenDoorPolicy(ScriptedPolicy):
             return [(joints[0], fx.handle_name)]
         raise ValueError(f"no handle on {fx.name}")
 
-    def _door_phases(self, env, fx, joint, handle):
+    def _door_phases(self, env, fx, joint, handle, swing_budget=600):
         from lipvq_tpu.robocasa.sim.fixtures import DOOR_RANGE
 
         lo, hi = DOOR_RANGE
@@ -451,8 +481,23 @@ class OpenDoorPolicy(ScriptedPolicy):
             rr = np.array([ca * r[0] - sa * r[1], sa * r[0] + ca * r[1], r[2]])
             return anchor + rr
 
+        stall_done = {"best": 0.0, "age": 0}
+
         def done_frac(e):
-            return frac(e) > target_frac if opening else frac(e) < target_frac
+            f = frac(e)
+            if not opening:
+                return f < target_frac
+            if f > target_frac:
+                return True
+            # physically-stopped door (microwave doors hit a hard stop
+            # at ~86% of DOOR_RANGE): once wide open and unmoving for
+            # 100 steps, more swinging cannot help — exit with what the
+            # workspace allows instead of burning the rest of the budget
+            if f > stall_done["best"] + 0.005:
+                stall_done["best"], stall_done["age"] = f, 0
+            else:
+                stall_done["age"] += 1
+            return f > 0.80 and stall_done["age"] >= 100
 
         entry_off = 0.07  # slide in beside the bar, then center
 
@@ -483,7 +528,7 @@ class OpenDoorPolicy(ScriptedPolicy):
                   budget=140, name="center"),
             Phase(self._swing_or_step(arc_target, peg_pt, door_normal,
                                       swing_state),
-                  done_frac, budget=600, name="swing"),
+                  done_frac, budget=swing_budget, name="swing"),
             Phase(lambda e: arm_action(e, e.eef_pos() + front * 0.10,
                                        grip=1.0, gain=0.6),
                   lambda e: False, budget=12, name="release"),
@@ -907,6 +952,112 @@ def _shelf_stage_pt(e, dest_fn):
     return np.array([d[0] + v[0] * 0.25, d[1] + v[1] * 0.25, d[2] + 0.02])
 
 
+def _reach_limit(z):
+    """Horizontal arm-reach limit as a function of target height.
+
+    Measured on this arm: counter height (z~0.98) reachable at 0.70m
+    and 7cm short at 0.82m; pan-handle height (~1.1) works to ~0.9m;
+    wall-cabinet height (z~1.7, torso raised) stalls ~0.29m short at
+    0.73m out — the reach sphere narrows again above the shoulder."""
+    if z < 1.05:
+        return 0.74
+    if z < 1.45:
+        return 0.86
+    return 0.58
+
+
+def hollow_grasp(env, obj_name):
+    """-> (grasp_pt_fn, wrist_yaw) for hollow/handle objects, or
+    (None, None) for straddle-graspable solids.
+
+    Bowls/pots are wider than the 8cm aperture; their 1cm rim wall
+    (nearest the base, fingers closing radially) is the pinch feature.
+    Pan/kettle ("mug") handles follow PnPStovePolicy's convention."""
+    obj = env.objects[obj_name]
+    shape = getattr(obj, "shape", None)
+    if shape in ("pan", "mug"):
+        def grasp_pt(e):
+            return e.geom_xpos(f"{obj_name}_handle")
+
+        hp = env.geom_xpos(f"{obj_name}_handle")
+        o = env.object_pos(obj_name)
+        u = hp[:2] - o[:2]
+        u = u / max(np.linalg.norm(u), 1e-6)
+        return grasp_pt, _wrist_yaw_for(env, np.array([-u[1], u[0]]))
+    if shape in ("bowl", "pot"):
+        base = env.data.body("robot0_base").xpos
+        o = env.object_pos(obj_name)
+        u = base[:2] - o[:2]
+        u = u / max(np.linalg.norm(u), 1e-6)
+        rim_r = obj.horizontal_radius
+
+        def grasp_pt(e, _u=u, _r=rim_r):
+            o = e.object_pos(obj_name)
+            return np.array([o[0] + _u[0] * _r, o[1] + _u[1] * _r,
+                             o[2] + e.objects[obj_name].height - 0.012])
+
+        return grasp_pt, _wrist_yaw_for(env, u)
+    return None, None
+
+
+def _make_carry_act(carry_tgt, carry_gain):
+    """Carry with base repositioning: a destination beyond the arm's
+    reach envelope from the pick stance used to stall the carry for its
+    whole 400-step budget (pick at A, place at B across the counter —
+    the multi-stage composites do this constantly). Drive the base
+    toward the destination first, then converge with the arm. When the
+    base itself stalls (the ideal stand point is inside a counter —
+    microwave/cabinet destinations), fall back to the arm and take the
+    full-extension reach rather than base-stepping forever."""
+    st = {"last": None, "still": 0}
+
+    def act(e):
+        d = carry_tgt(e)
+        b = e.data.body("robot0_base").xpos
+        v = b[:2] - d[:2]
+        dist = float(np.linalg.norm(v))
+        limit = _reach_limit(d[2])
+        if st["last"] is not None and np.linalg.norm(
+                b[:2] - st["last"]) < 0.01:
+            st["still"] += 1
+        else:
+            st["still"] = 0
+        st["last"] = np.array(b[:2])
+        if dist > limit and st["still"] < 25:
+            v = v / max(dist, 1e-6)
+            return base_action(e, d[:2] + v * min(0.68, limit - 0.05),
+                               _base_yaw(e), grip=1.0)
+        return arm_action(e, d, grip=1.0, gain=carry_gain)
+
+    return act
+
+
+def _descend_done(at_obj, state):
+    """Descend completes on convergence OR on a z-stall with xy
+    aligned: firm fingertip<->support contact (robot.py priority=1)
+    can stop the servo a few mm above an aggressive target — once xy
+    is centered and z has stopped moving, the pinch is as low as
+    physics allows and waiting the budget out just wastes 100+ steps.
+    """
+
+    def done(e):
+        eef = e.eef_pos()
+        tgt = at_obj(e)
+        if np.linalg.norm(eef - tgt) < 0.015:
+            return True
+        z = float(eef[2])
+        if state["z"] is not None and z > state["z"] - 0.001:
+            state["stall"] += 1
+        else:
+            state["stall"] = 0
+        state["z"] = z
+        return (state["stall"] >= 12
+                and np.linalg.norm(eef[:2] - tgt[:2]) < 0.015
+                and z < tgt[2] + 0.04)
+
+    return done
+
+
 def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
                       carry_gain=0.3, name="", above_dz=0.18,
                       skip_torso_down=False, grasp_pt_fn=None,
@@ -972,12 +1123,21 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
             return grasp_pt_fn(e)
         obj = e.objects[obj_name]
         gz = max(obj.height * 0.5, 0.02) + grasp_dz
+        # fingertip-clearance floor: the open fingertips reach ~5.5cm
+        # below the eef frame, and finger<->support contacts are firm
+        # (robot.py priority=1 solref) — a target that would press the
+        # tips into the counter is unreachable: the z-servo stalls
+        # there and never converges in xy either, so the pinch lands
+        # off-center and shoves small objects away. Clamp the target
+        # so the tips just graze the surface the object rests on.
+        gz = max(gz, 0.057 - obj.height * 0.5)
         return opos(e) + np.array([0, 0, gz])
 
     lift_state = {"z": None}
     out_state = {"z": None}
     carry_state = {"off": None}
     verify_state = {"z0": None}
+    descend_state = {"z": None, "stall": 0}
 
     def _carry_tgt(e):
         if grasp_pt_fn is None or not carry_obj_offset:
@@ -1029,11 +1189,11 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         return grasp_pt_fn(e) if grasp_pt_fn is not None else opos(e)
 
     def reach_ok(e):
-        # the arm tops out ~1.0m of horizontal reach from the base;
-        # beyond ~0.9m the above/descend servos stall at full extension
-        # (observed: pan-handle seeds stuck 8cm short for 260 steps)
+        # height-dependent arm-reach envelope (_reach_limit) + a small
+        # tolerance so an almost-in-range stance doesn't shuffle
         b = e.data.body("robot0_base").xpos
-        return np.linalg.norm(_pick_pt(e)[:2] - b[:2]) < 0.92
+        p = _pick_pt(e)
+        return np.linalg.norm(p[:2] - b[:2]) < _reach_limit(p[2]) + 0.04
 
     def reach_act(e):
         # re-entered on every grasp retry: clear per-attempt captures
@@ -1043,7 +1203,8 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         b = e.data.body("robot0_base").xpos
         v = b[:2] - p[:2]
         v = v / max(np.linalg.norm(v), 1e-6)
-        return base_action(e, p[:2] + v * 0.80, _base_yaw(e))
+        stand = min(0.70, _reach_limit(p[2]) - 0.04)
+        return base_action(e, p[:2] + v * stand, _base_yaw(e))
 
     torso_down = [] if skip_torso_down else [
         # neutral torso first: a raised torso shifts the whole arm z
@@ -1060,12 +1221,13 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         Phase(lambda e: (lift_state.update(z=None),
                          carry_state.update(off=None),
                          verify_state.update(z0=None),
+                         descend_state.update(z=None, stall=0),
                          _track(above, grip=-1.0, wrist_yaw=wrist_yaw)(e)
                          )[-1],
               lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
               budget=260, name=f"above:{tag}"),
         Phase(_track(at_obj, grip=-1.0, gain=0.5, wrist_yaw=wrist_yaw),
-              lambda e: np.linalg.norm(e.eef_pos() - at_obj(e)) < 0.015,
+              _descend_done(at_obj, descend_state),
               budget=140, name=f"descend:{tag}"),
         # capture the object's resting height while pinching — the
         # verify phase's "did it rise with the lift" test needs it
@@ -1090,9 +1252,18 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         # a finger merely brushes the object while closing on air.
         Phase(lambda e: arm_action(e, e.eef_pos(), grip=1.0),
               lambda e: (
-                  float(opos(e)[2]) > verify_state["z0"]
-                  + min(0.08, 0.5 * lift_dz)
-                  if verify_state["z0"] is not None else held(e)),
+                  (float(opos(e)[2]) > verify_state["z0"]
+                   + min(0.08, 0.5 * lift_dz)
+                   if verify_state["z0"] is not None else held(e))
+                  # rise alone false-positives when the closing fingers
+                  # FLICK the object onto something higher (observed on
+                  # a shoved broccoli): a held payload also touches a
+                  # finger. No q-window here — thin payloads compress
+                  # the fingers below it (the held() false-negative).
+                  and (e.check_contact("robot0_leftfinger_geom",
+                                       f"{obj_name}_")
+                       or e.check_contact("robot0_rightfinger_geom",
+                                          f"{obj_name}_"))),
               budget=4, name=f"verify:{tag}",
               goto_on_budget=(f"reach:{tag}" if reach_phase
                               else f"above:{tag}"), retries=3,
@@ -1142,8 +1313,7 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         # (pan/kettle) hold the body 8-10cm off the eef axis, so aim
         # the eef at dest + the current eef->object offset (captured at
         # carry entry; recomputing it live chases a swinging payload)
-        Phase(lambda e: arm_action(e, _carry_tgt(e), grip=1.0,
-                                   gain=carry_gain),
+        Phase(_make_carry_act(_carry_tgt, carry_gain),
               lambda e: np.linalg.norm(e.eef_pos() - _carry_tgt(e)) < 0.04,
               budget=400, name=f"carry:{tag}"),
         Phase(lambda e: arm_action(e, _carry_tgt(e), grip=-1.0),
@@ -1188,7 +1358,9 @@ class PnPSinkPolicy(ScriptedPolicy):
                 np.array([cx, 0.0, counter.height + 0.22])
             )
 
-        return pick_place_phases("obj", dest)
+        gp, wy = hollow_grasp(env, "obj")
+        return pick_place_phases("obj", dest, grasp_pt_fn=gp, wrist_yaw=wy,
+                                 carry_obj_offset=gp is not None)
 
 
 # ===================== Multi-stage composites =========================
@@ -1244,11 +1416,18 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
         # _reset_internal) -> open it, place the food, shut it, press
         opener = OpenDoorPolicy.__new__(OpenDoorPolicy)
         opener.behavior = "open"
+        # microwave doors creep under the firm-finger peg (observed:
+        # q 0.8 -> 1.27 over the last 300 steps of a 600 budget, a few
+        # percent short of the 0.95 target) — give the arc headroom
         phases = opener._door_phases(
-            env, mw, f"{mw.name}_microjoint", f"{mw.name}_door_handle"
+            env, mw, f"{mw.name}_microjoint", f"{mw.name}_door_handle",
+            swing_budget=1100,
         )
+        # the door phases leave the base at the microwave vantage; the
+        # food spawns on a neighboring counter, often out of arm reach
         phases += pick_place_phases("obj", dest, carry_gain=0.25,
-                                    stage_fn=dest_stage)
+                                    stage_fn=dest_stage,
+                                    reach_phase=True, verify_grasp=True)
         closer = CloseDoorPolicy.__new__(CloseDoorPolicy)
         closer.behavior = "close"
         phases += closer._door_phases(
@@ -1338,7 +1517,8 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
         phases = []
         for name, dx in (("vegetable1", -0.05), ("vegetable2", 0.05)):
             phases += pick_place_phases(name, board_dest(dx),
-                                        carry_gain=0.25)
+                                        carry_gain=0.25,
+                                        reach_phase=True, verify_grasp=True)
         return phases
 
 
@@ -1374,7 +1554,8 @@ class RestockPantryPolicy(ScriptedPolicy):
 
         phases = []
         for i, name in enumerate(("obj1", "obj2")):
-            phases += pick_place_phases(name, dest(i), carry_gain=0.25)
+            phases += pick_place_phases(name, dest(i), carry_gain=0.25,
+                                        reach_phase=True, verify_grasp=True)
         return phases
 
 
@@ -1473,7 +1654,10 @@ class PnPCabinetPolicy(ScriptedPolicy):
             )
 
         if to_cab:
-            return pick_place_phases("obj", cab_dest, carry_gain=0.25)
+            gp, wy = hollow_grasp(env, "obj")
+            return pick_place_phases("obj", cab_dest, carry_gain=0.25,
+                                     grasp_pt_fn=gp, wrist_yaw=wy,
+                                     carry_obj_offset=gp is not None)
 
         # source is the (high) cabinet shelf: torso up, grasp with a
         # shallow approach, withdraw straight out of the shelf front,
@@ -1521,7 +1705,8 @@ class PnPMicrowavePolicy(ScriptedPolicy):
             )
 
         if to_mw:
-            return pick_place_phases("obj", mw_dest, carry_gain=0.25)
+            return pick_place_phases("obj", mw_dest, carry_gain=0.25,
+                                     reach_phase=True, verify_grasp=True)
 
         def withdraw_pt(e):
             o = e.object_pos("obj")

@@ -34,7 +34,9 @@ def rollout_expert(task, seed, max_steps=1700):
     return ok
 
 
-# task -> seeds the expert is pinned to solve (deterministic)
+# task -> seeds the expert is pinned to solve (deterministic).
+# Re-pinned whenever placement/physics changes shift the episode RNG
+# stream: python -m lipvq_tpu.robocasa.repin_experts
 RELIABLE = {
     "NavigateKitchen": (0, 1),
     "OpenDrawer": (0, 1),
@@ -59,11 +61,11 @@ RELIABLE = {
     "PnPMicrowaveToCounter": (1,),
     "PnPCounterToStove": (1,),
     "PnPStoveToCounter": (2, 5),
-    "CoffeeSetupMug": (0, 1),
+    "CoffeeSetupMug": (2, 3),
     "CoffeeServeMug": (0, 1),
-    "ArrangeVegetables": (3,),
-    "MicrowaveThawing": (0,),
-    "RestockPantry": (16,),
+    "ArrangeVegetables": (5,),
+    "MicrowaveThawing": (7,),
+    "RestockPantry": (8,),
     "PreSoakPan": (0,),
     "PrepareCoffee": (0, 4),
 }
