@@ -83,6 +83,16 @@ def make_config(args, paths):
         # dataset.py:1080-1082); per-demo low_dim caching is equivalent
         # for these proprio-only corpora
         "hdf5_cache_mode": "low_dim",
+        # min_max-normalize actions to +-0.999999 (the reference's
+        # robocasa abs-action treatment, config_gen_utils.py:50-86 /
+        # dataset.py:1203-1238). Scripted experts saturate actions at
+        # EXACTLY +-1, which the tanh-squashed GMM mean can only fit
+        # with infinite pre-activations: grad norms climbed 253 -> 16k
+        # over 50 epochs and the global clip (100) crushed all useful
+        # learning ~160x - the trained policy predicted the corpus
+        # marginal mean in every state. atanh(0.999999) ~ 7.3 keeps
+        # the optimum finite and the gradients sane.
+        "action_config": {"actions": {"normalization": "min_max"}},
         "num_epochs": args.epochs,
         "batch_size": 64,
         # task-aligned context/query pairing is OFF: measured across
@@ -106,6 +116,14 @@ def make_config(args, paths):
     d["algo"]["transformer"].update(
         {"embed_dim": 256, "num_layers": 4, "num_heads": 8}
     )
+    # min_std floor: scripted-expert labels sit exactly on bin edges
+    # (0 / +-1 per dim), so the GMM's sigma collapses toward the resi-
+    # dual floor and (y-mu)/sigma^2 explodes - grad norms hit 16k and
+    # the global clip crushed learning 160x. 0.03 bounds the sharpness
+    # (reference template uses 0.005 on human data, which never
+    # saturates; measured here: 1e-4 -> norms 1541 @ ep6, 0.03 -> 310,
+    # with state-dependent predictions returning).
+    d["algo"]["gmm"] = {"min_std": 0.03}
     d["algo"]["optim_params"] = {"policy": {"learning_rate": {
         "initial": 1e-3, "scheduler_type": "none"}}}
     d["algo"]["vq"] = {"num_codes": 512}
@@ -143,13 +161,20 @@ def evaluate(args, paths, ckpt_path):
         train_ds, _ = TrainUtils.load_data_for_training(
             cfg, obs_keys=model.obs_shapes.keys(), lang_encoder=lang_encoder
         )
+        # normalize CONTEXT actions + unnormalize policy outputs with
+        # the TRAINING mixture's stats (stored in the checkpoint):
+        # per-task stats differ on dims whose range varies across
+        # tasks, which would mis-scale both streams
+        stats = ckpt.get("action_normalization_stats_unpacked") or \
+            train_ds.get_action_normalization_stats()
+        train_ds.set_action_normalization_stats(stats)
         _, _, context_loader = TrainUtils.make_loaders(cfg, train_ds, None)
         context_batch = model.process_batch_for_training(
             next(iter(context_loader))
         )
         policy = ICLRolloutPolicy(
             model,
-            action_normalization_stats=train_ds.get_action_normalization_stats(),
+            action_normalization_stats=stats,
             lang_encoder=lang_encoder,
         )
         # batched eval: eval_episodes envs step in lock-step against one
