@@ -123,7 +123,7 @@ def make_config(args, paths):
     # (reference template uses 0.005 on human data, which never
     # saturates; measured here: 1e-4 -> norms 1541 @ ep6, 0.03 -> 310,
     # with state-dependent predictions returning).
-    d["algo"]["gmm"] = {"min_std": 0.03}
+    d["algo"]["gmm"]["min_std"] = 0.03
     d["algo"]["optim_params"] = {"policy": {"learning_rate": {
         "initial": 1e-3, "scheduler_type": "none"}}}
     d["algo"]["vq"] = {"num_codes": 512}

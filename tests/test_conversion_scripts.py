@@ -152,7 +152,7 @@ def test_add_absolute_actions_kitchen(tmp_path):
     env = create_env("CloseDrawer", seed=3)
     rng = np.random.default_rng(0)
     traj, success = collect_demo(
-        env, None, 150, rng,
+        env, None, 500, rng,
         policy_factory=lambda e: make_scripted_policy("CloseDrawer", e),
     )
     assert success
