@@ -54,6 +54,9 @@ def test_multitask_icl_training(suite_dir, tmp_path):
         {"path": str(suite_dir / "OpenDrawer.hdf5"), "weight": 1.0},
         {"path": str(suite_dir / "CloseDrawer.hdf5"), "weight": 1.0},
     ]
+    # MetaDataset rejects hdf5_cache_mode="all" (enforced reference
+    # quirk, dataset.py:1080-1082)
+    d["train"]["hdf5_cache_mode"] = "low_dim"
     d["train"]["output_dir"] = str(tmp_path)
     cfg = config_factory("icl", d)
     ckpt_dir = train(cfg)
