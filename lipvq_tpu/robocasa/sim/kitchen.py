@@ -365,6 +365,20 @@ class Kitchen:
         self.objects = OrderedDict()
         self._object_cfgs = self._get_obj_cfgs()
         sampler = SequentialCompositeSampler(self.rng)
+        # counter-top accessory fixtures obstruct the counters'
+        # sampling regions exactly like already-placed objects
+        # (observed: a can spawned standing ON the coffee machine
+        # platform, ungraspable under the dispenser head). The
+        # reference gets this via its composite sampler seeing fixture
+        # objects (placement_samplers.py:416-568).
+        from lipvq_tpu.robocasa.sim.fixtures import Toaster
+
+        for fx in self.fixtures.values():
+            if isinstance(fx, (CoffeeMachine, Toaster)):
+                r = 0.5 * float(np.hypot(fx.size[0], fx.size[1]))
+                sampler.placed.append(
+                    (np.asarray(fx.pos, dtype=float), r)
+                )
         saved_placements = self._ep_meta.get("object_placements")
         self._placements = {}
         self._obj_fixture = {}

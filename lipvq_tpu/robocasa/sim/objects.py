@@ -64,7 +64,7 @@ def _c(types, attrs, regs="oa", shape=None, hr=None, h=None, rgba=None):
 OBJ_CATEGORIES = {
     # ---- both registries (reference kitchen_objects.py:9-1196) ------
     "liquor": _c(("drink", "alcohol"), "g", "oa", "bottle", 0.035, 0.24, (0.35, 0.22, 0.12, 1)),
-    "apple": _c("fruit", "gwc", "oa", "sphere", 0.035, 0.07, (0.8, 0.15, 0.1, 1)),
+    "apple": _c("fruit", "gwc", "oa", "sphere", 0.033, 0.07, (0.8, 0.15, 0.1, 1)),
     "avocado": _c("vegetable", "gw", "oa", "sphere", 0.032, 0.075, (0.2, 0.35, 0.12, 1)),
     "bagel": _c("bread_food", "", "oa", "plate", 0.045, 0.03, (0.78, 0.58, 0.35, 1)),
     "bagged_food": _c("packaged_food", "f", "oa", "box", 0.05, 0.14, (0.85, 0.75, 0.55, 1)),
@@ -73,14 +73,14 @@ OBJ_CATEGORIES = {
     "bar": _c("packaged_food", "gf", "oa", "box", 0.045, 0.035, (0.6, 0.4, 0.25, 1)),
     "bar_soap": _c("cleaner", "gw", "oa", "box", 0.04, 0.035, (0.9, 0.88, 0.8, 1)),
     "beer": _c(("drink", "alcohol"), "gw", "oa", "bottle", 0.032, 0.2, (0.45, 0.28, 0.12, 1)),
-    "bell_pepper": _c("vegetable", "gwmcf", "oa", "sphere", 0.038, 0.085, (0.85, 0.2, 0.12, 1)),
+    "bell_pepper": _c("vegetable", "gwmcf", "oa", "sphere", 0.033, 0.085, (0.85, 0.2, 0.12, 1)),
     "bottled_drink": _c("drink", "gwf", "oa", "bottle", 0.03, 0.16, (0.3, 0.55, 0.35, 0.9)),
     "bottled_water": _c("drink", "gwf", "oa", "bottle", 0.03, 0.18, (0.75, 0.85, 0.95, 0.8)),
     "bowl": _c(("receptacle", "stackable"), "gwm", "oa", "bowl", 0.07, 0.045, (0.85, 0.9, 0.95, 1)),
     "boxed_drink": _c("drink", "gwf", "oa", "box", 0.03, 0.1, (0.7, 0.8, 0.9, 1)),
     "boxed_food": _c("packaged_food", "gmf", "oa", "box", 0.04, 0.12, (0.8, 0.65, 0.3, 1)),
     "bread": _c("bread_food", "gf", "oa", "box", 0.05, 0.06, (0.8, 0.6, 0.35, 1)),
-    "broccoli": _c("vegetable", "gwmcf", "oa", "sphere", 0.04, 0.09, (0.2, 0.45, 0.15, 1)),
+    "broccoli": _c("vegetable", "gwmcf", "oa", "sphere", 0.033, 0.09, (0.2, 0.45, 0.15, 1)),
     "cake": _c("sweets", "gf", "oa", "cylinder", 0.06, 0.07, (0.95, 0.85, 0.8, 1)),
     "can": _c("drink", "gwf", "oa", "cylinder", 0.032, 0.11, (0.75, 0.75, 0.8, 1)),
     "candle": _c("decoration", "g", "oa", "cylinder", 0.02, 0.1, (0.95, 0.92, 0.85, 1)),
@@ -100,7 +100,7 @@ OBJ_CATEGORIES = {
     "cutting_board": _c("receptacle", "w", "oa", "board", 0.16, 0.016, (0.75, 0.6, 0.4, 1)),
     "donut": _c(("sweets", "pastry"), "gf", "oa", "plate", 0.04, 0.03, (0.85, 0.55, 0.45, 1)),
     "egg": _c("dairy", "gwmcf", "oa", "sphere", 0.022, 0.05, (0.95, 0.92, 0.85, 1)),
-    "eggplant": _c("vegetable", "gwmcf", "oa", "sphere", 0.035, 0.1, (0.35, 0.15, 0.4, 1)),
+    "eggplant": _c("vegetable", "gwmcf", "oa", "sphere", 0.033, 0.1, (0.35, 0.15, 0.4, 1)),
     "fish": _c("meat", "gwmcf", "oa", "box", 0.06, 0.04, (0.75, 0.65, 0.6, 1)),
     "fork": _c("utensil", "wmc", "oa", "stick", 0.08, 0.012, (0.75, 0.75, 0.78, 1)),
     "garlic": _c("vegetable", "gwmcf", "oa", "sphere", 0.022, 0.045, (0.92, 0.9, 0.85, 1)),
@@ -115,15 +115,15 @@ OBJ_CATEGORIES = {
     "ladle": _c("utensil", "gwc", "oa", "stick", 0.1, 0.03, (0.5, 0.5, 0.52, 1)),
     "lemon": _c("vegetable", "gwcf", "oa", "sphere", 0.03, 0.06, (0.95, 0.88, 0.25, 1)),
     "lime": _c("vegetable", "gwcf", "oa", "sphere", 0.027, 0.054, (0.4, 0.7, 0.2, 1)),
-    "mango": _c("fruit", "gwcf", "oa", "sphere", 0.04, 0.08, (0.95, 0.6, 0.2, 1)),
+    "mango": _c("fruit", "gwcf", "oa", "sphere", 0.033, 0.08, (0.95, 0.6, 0.2, 1)),
     "milk": _c(("dairy", "drink"), "gw", "oa", "box", 0.035, 0.16, (0.95, 0.95, 0.97, 1)),
     "mug": _c(("receptacle", "stackable"), "gwm", "oa", "mug", 0.04, 0.09, (0.85, 0.85, 0.88, 1)),
     "mushroom": _c("vegetable", "gwmcf", "oa", "sphere", 0.025, 0.05, (0.85, 0.8, 0.7, 1)),
     "onion": _c("vegetable", "gwmc", "oa", "sphere", 0.032, 0.064, (0.8, 0.65, 0.4, 1)),
-    "orange": _c("fruit", "gw", "oa", "sphere", 0.038, 0.076, (0.95, 0.55, 0.1, 1)),
+    "orange": _c("fruit", "gw", "oa", "sphere", 0.033, 0.076, (0.95, 0.55, 0.1, 1)),
     "pan": _c("receptacle", "gw", "oa", "pan", 0.1, 0.035, (0.25, 0.25, 0.28, 1)),
     "pot": _c("receptacle", "gw", "oa", "pot", 0.085, 0.09, (0.55, 0.55, 0.6, 1)),
-    "peach": _c("fruit", "gw", "oa", "sphere", 0.034, 0.068, (0.95, 0.65, 0.45, 1)),
+    "peach": _c("fruit", "gw", "oa", "sphere", 0.033, 0.068, (0.95, 0.65, 0.45, 1)),
     "pear": _c("fruit", "gw", "oa", "sphere", 0.033, 0.08, (0.75, 0.8, 0.35, 1)),
     "plate": _c("receptacle", "wm", "oa", "plate", 0.09, 0.02, (0.92, 0.92, 0.95, 1)),
     "potato": _c("vegetable", "gwmcf", "oa", "sphere", 0.032, 0.064, (0.7, 0.55, 0.3, 1)),
@@ -135,7 +135,7 @@ OBJ_CATEGORIES = {
     "sponge": _c("cleaner", "gw", "oa", "box", 0.035, 0.03, (0.95, 0.85, 0.2, 1)),
     "spoon": _c("utensil", "wmc", "oa", "stick", 0.07, 0.015, (0.72, 0.72, 0.75, 1)),
     "spray": _c("cleaner", "gw", "oa", "bottle", 0.035, 0.22, (0.4, 0.65, 0.85, 1)),
-    "squash": _c("vegetable", "gwmcf", "oa", "sphere", 0.04, 0.1, (0.9, 0.75, 0.3, 1)),
+    "squash": _c("vegetable", "gwmcf", "oa", "sphere", 0.033, 0.1, (0.9, 0.75, 0.3, 1)),
     "steak": _c("meat", "gwmcf", "oa", "box", 0.05, 0.038, (0.55, 0.2, 0.18, 1)),
     "sweet_potato": _c("vegetable", "gwmcf", "oa", "sphere", 0.03, 0.09, (0.7, 0.4, 0.25, 1)),
     "tangerine": _c("fruit", "gw", "oa", "sphere", 0.03, 0.06, (0.95, 0.6, 0.15, 1)),
@@ -373,11 +373,28 @@ class KitchenObject:
             r = min(r, 0.036)
 
         if self.shape == "sphere":
+            # ellipsoid matching (r, r, h/2), tangent to the body
+            # origin plane: a radius-r sphere floated at pos z=h/2
+            # settles with the body origin 1.6cm BELOW the support
+            # surface (for h=3r produce), so every origin-based grasp
+            # height ended up too deep — the fingertips pressed into
+            # the counter/basin and friction jammed them open
+            # (observed on ArrangeVegetables: both finger geoms in
+            # sustained contact with main_sink_2_basinbot, finger
+            # joint stuck at 3mm of its 40mm travel)
             g = body.add_geom(
-                name=f"{self.name}_g0", type=mujoco.mjtGeom.mjGEOM_SPHERE,
-                size=[min(r, h / 2), 0, 0], pos=[0, 0, h / 2], rgba=rgba,
+                name=f"{self.name}_g0",
+                type=mujoco.mjtGeom.mjGEOM_ELLIPSOID,
+                size=[r, r, h / 2], pos=[0, 0, h / 2], rgba=rgba,
             )
             g.density = 300.0
+            # produce glides like a puck under finger nudges without
+            # torsional/rolling resistance (condim 3 default): give the
+            # smooth convex solids full friction so a slightly off-
+            # center pinch nudges them millimetres, not across the
+            # whole sink basin
+            g.condim = 6
+            g.friction = [1.2, 0.01, 0.002]
         elif self.shape == "cylinder":
             cyl(f"{self.name}_g0", r, h / 2, [0, 0, h / 2])
         elif self.shape == "mug":

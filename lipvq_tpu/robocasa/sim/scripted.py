@@ -158,7 +158,13 @@ def _near(env, target, tol):
 
 
 def _track(target_fn, grip=-1.0, wrist_yaw=None, gain=1.0):
-    return lambda e: arm_action(e, target_fn(e), grip=grip, wrist_yaw=wrist_yaw, gain=gain)
+    # wrist_yaw may be a callable of the env: re-resolved every step so
+    # a grasp-orientation rule (e.g. basin-wall tangent) follows the
+    # object's CURRENT pose instead of its reset pose
+    return lambda e: arm_action(
+        e, target_fn(e), grip=grip,
+        wrist_yaw=(wrist_yaw(e) if callable(wrist_yaw) else wrist_yaw),
+        gain=gain)
 
 
 # ===================== Navigate =======================================
@@ -435,9 +441,16 @@ class OpenDoorPolicy(ScriptedPolicy):
         # The expert never grips the bar: a closed-finger "peg" slips
         # into the gap behind (open) / in front of (close) the handle
         # and pushes the bar along the hinge arc — pure normal-force
-        # transmission, robust to hinge handedness (sign probed from
-        # the fraction trend).
-        swing_state = {"sign": 1.0, "stall": 0, "last": None, "first": None,
+        # transmission. The push direction is computed from the hinge
+        # axis (handle velocity for dq>0 is axis x r), not probed: the
+        # old trend-probe started half the doors the WRONG way, and on
+        # the microwave the wrong-way push wedged the peg against the
+        # panel where the straight-line servo traps forever (observed:
+        # eef frozen 7cm off the bar for 900+ steps, door never past
+        # 0.24).
+        jaxis = env.data.xaxis[env.model.joint(joint).dofadr[0]]
+        sign0 = float(np.sign(jaxis[2]) or 1.0) * (1.0 if opening else -1.0)
+        swing_state = {"sign": sign0, "stall": 0, "last": None, "first": None,
                        "locked": False, "restep": 0}
 
         def peg_pt(e, lateral_off=0.0, depth=0.027):
@@ -952,6 +965,17 @@ def _shelf_stage_pt(e, dest_fn):
     return np.array([d[0] + v[0] * 0.25, d[1] + v[1] * 0.25, d[2] + 0.02])
 
 
+def _exit_stage_pt(e, dest_fn):
+    """Level exit point after a high (shelf) release: further out than
+    the entry staging point (the open fingers need full clearance from
+    the cabinet frame) and slightly above the shelf plane."""
+    d = dest_fn(e)
+    b = e.data.body("robot0_base").xpos
+    v = b[:2] - d[:2]
+    v = v / max(np.linalg.norm(v), 1e-6)
+    return np.array([d[0] + v[0] * 0.38, d[1] + v[1] * 0.38, d[2] + 0.04])
+
+
 def _reach_limit(z):
     """Horizontal arm-reach limit as a function of target height.
 
@@ -1064,7 +1088,9 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
                       wrist_yaw=None, withdraw_fn=None,
                       torso_down_mid=False, stage_fn=None,
                       reach_phase=False, verify_grasp=False,
-                      carry_obj_offset=False):
+                      carry_obj_offset=False, lower_dz=None,
+                      place_verify_fn=None, place_retries=2,
+                      pin_descend=False):
     """Reusable straddle-grasp pick-and-place phase list: approach
     above the object, descend, close until held, lift to a fixed
     height, carry over ``dest_fn(env)``, release, rise, back off
@@ -1137,7 +1163,91 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
     out_state = {"z": None}
     carry_state = {"off": None}
     verify_state = {"z0": None}
-    descend_state = {"z": None, "stall": 0}
+    descend_state = {"z": None, "stall": 0, "tgt": None, "yaw": None}
+
+    def _resolve_yaw(e):
+        return wrist_yaw(e) if callable(wrist_yaw) else wrist_yaw
+
+    def at_obj_eff(e):
+        # pin_descend: freeze the grasp target at descend entry and go
+        # straight down. Live tracking at finger depth turns a bumped
+        # object into a pursuit — the descending cage plows it across
+        # the counter/basin (observed on ArrangeVegetables: the
+        # vegetable was shoved 16cm around the sink and twice flung
+        # out of it). A clean vertical drop either cages it or misses,
+        # and a miss re-enters the approach via the verify retry.
+        if not pin_descend:
+            return at_obj(e)
+        if descend_state["tgt"] is None:
+            tgt = np.array(at_obj(e))
+            # floor-safe z: the open fingertips reach 5.5cm below the
+            # eef — an aggressive target presses them into the support
+            # and the z-servo BOUNCES (observed: eef oscillating ±5cm
+            # while the cage skittered across the basin). On counters
+            # the firm-contact stall absorbs this; a pinned vertical
+            # drop must stop where the tips just graze the support
+            # (= the object's resting origin for bottom-origin geoms).
+            tgt[2] = max(tgt[2], float(opos(e)[2]) + 0.057)
+            descend_state["tgt"] = tgt
+            # freeze the wrist yaw with the target: re-resolving it
+            # mid-descend rotates the fingers at payload depth and the
+            # sweep bats the object away
+            descend_state["yaw"] = _resolve_yaw(e)
+        return descend_state["tgt"]
+
+    def pin_yaw(e):
+        if pin_descend and descend_state["tgt"] is not None:
+            return descend_state["yaw"]
+        return _resolve_yaw(e)
+
+    def obj_settled(e):
+        # pin_descend re-approaches after a dropped grasp: wait for the
+        # payload to stop rolling first, or the pinned descend target
+        # is captured from a pose the object has already left
+        v = e.data.body(e.obj_body_id[obj_name]).cvel
+        return float(np.linalg.norm(v[3:])) < 0.03
+
+    lower_state = {"off": None, "z0": None, "ez0": None,
+               "zlast": None, "stall": 0}
+
+    def _lower_tgt(e):
+        # aim the set-down so the PAYLOAD lands on the slot: capture
+        # where the object actually hangs relative to the eef at lower
+        # entry (after the carry has converged and swinging stopped)
+        if lower_state["off"] is None:
+            off = e.eef_pos()[:2] - opos(e)[:2]
+            n = np.linalg.norm(off)
+            if n > 0.16:  # payload already dropped: don't chase it
+                off = off * (0.16 / n)
+            lower_state["off"] = off
+        t = np.array(_carry_tgt(e))
+        t[0] += lower_state["off"][0]
+        t[1] += lower_state["off"][1]
+        return t
+
+    def _touchdown_done(e):
+        # stop lowering the moment the payload TOUCHES DOWN: lowering a
+        # still-gripped long payload past contact pivots it out of the
+        # pinch and it rolls off-slot (observed: the sweet potato
+        # popped west off the cutting board on every set-down). The
+        # payload has landed when its z stops falling while the eef is
+        # still descending; also stop at full eef depth as before.
+        z = float(opos(e)[2])
+        ez = float(e.eef_pos()[2])
+        if lower_state["z0"] is None:
+            lower_state["z0"] = z
+            lower_state["ez0"] = ez
+            lower_state["zlast"] = z
+            lower_state["stall"] = 0
+            return False
+        if z > lower_state["zlast"] - 0.0008:
+            lower_state["stall"] += 1
+        else:
+            lower_state["stall"] = 0
+        lower_state["zlast"] = z
+        descended = lower_state["ez0"] - ez
+        return ((lower_state["stall"] >= 3 and descended > 0.01)
+                or ez < _carry_tgt(e)[2] - lower_dz + 0.02)
 
     def _carry_tgt(e):
         if grasp_pt_fn is None or not carry_obj_offset:
@@ -1220,22 +1330,30 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         # re-entered on every grasp retry: clear per-attempt captures
         Phase(lambda e: (lift_state.update(z=None),
                          carry_state.update(off=None),
+                         lower_state.update(off=None, z0=None),
                          verify_state.update(z0=None),
-                         descend_state.update(z=None, stall=0),
+                         descend_state.update(z=None, stall=0, tgt=None,
+                                              yaw=None),
                          _track(above, grip=-1.0, wrist_yaw=wrist_yaw)(e)
                          )[-1],
-              lambda e: np.linalg.norm(e.eef_pos() - above(e)) < 0.02,
+              # pin mode: the open finger cage has ~7mm of lateral
+              # clearance around round produce — center to 6mm while
+              # still above (contact-free, so the servo CAN converge
+              # that tight) before committing to the straight drop
+              lambda e: np.linalg.norm(e.eef_pos() - above(e))
+              < (0.006 if pin_descend else 0.02)
+              and (not pin_descend or obj_settled(e)),
               budget=260, name=f"above:{tag}"),
-        Phase(_track(at_obj, grip=-1.0, gain=0.5, wrist_yaw=wrist_yaw),
-              _descend_done(at_obj, descend_state),
+        Phase(_track(at_obj_eff, grip=-1.0, gain=0.5, wrist_yaw=pin_yaw),
+              _descend_done(at_obj_eff, descend_state),
               budget=140, name=f"descend:{tag}"),
         # capture the object's resting height while pinching — the
         # verify phase's "did it rise with the lift" test needs it
         Phase(lambda e: (verify_state.update(
                              z0=(verify_state["z0"] if verify_state["z0"]
                                  is not None else float(opos(e)[2]))),
-                         arm_action(e, at_obj(e), grip=1.0,
-                                    wrist_yaw=wrist_yaw))[-1],
+                         arm_action(e, at_obj_eff(e), grip=1.0,
+                                    wrist_yaw=pin_yaw(e)))[-1],
               grasp_done, budget=40, name=f"grasp:{tag}"),
         # fixed lift target captured at phase entry (a target that
         # tracks the held object chases itself upward)
@@ -1316,8 +1434,43 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         Phase(_make_carry_act(_carry_tgt, carry_gain),
               lambda e: np.linalg.norm(e.eef_pos() - _carry_tgt(e)) < 0.04,
               budget=400, name=f"carry:{tag}"),
-        Phase(lambda e: arm_action(e, _carry_tgt(e), grip=-1.0),
+    ] + ([] if lower_dz is None else [
+        # opt-in: descend vertically at the slot before opening — lets
+        # shelf placements slide in HIGH (clearing cans already on the
+        # shelf) yet release from LOW (a >5cm drop tips a can over and
+        # it rolls off-slot). The set-down aims the OBJECT over the
+        # slot, not the eef: a tall payload gripped below its equator
+        # hangs 10-15cm off the eef axis (observed: every sweet-potato
+        # release landed ~15cm west of the board), so capture the
+        # actual eef->object offset at lower entry and shift the
+        # target by it.
+        Phase(lambda e: arm_action(
+                  e, _lower_tgt(e) - np.array([0, 0, lower_dz]),
+                  grip=1.0, gain=0.3),
+              _touchdown_done, budget=60, name=f"lower:{tag}"),
+    ]) + [
+        Phase(lambda e: arm_action(
+                  e, (_lower_tgt(e) - np.array([0, 0, lower_dz])
+                      if lower_dz is not None else _carry_tgt(e)),
+                  grip=-1.0),
               lambda e: not held(e), budget=30, name=f"release:{tag}"),
+        # high (shelf) releases drop the payload ~8-10cm: hold still
+        # while it lands (the exit sweep one step after release clipped
+        # the still-falling can and dragged it out of the cabinet)
+        Phase(lambda e: arm_action(e, e.eef_pos(), grip=-1.0),
+              lambda e: dest_fn(e)[2] < 1.30,
+              budget=10, name=f"settle:{tag}"),
+        # high (shelf) destinations exit the way they came in: rising
+        # straight up INSIDE a cabinet traps the wrist against the
+        # shelf above, and the subsequent straight-line servo to the
+        # next target presses into the cabinet frame forever (observed
+        # on RestockPantry: eef error froze at 0.375m for 260 steps).
+        # Pull out level to the staging point first, then retreat.
+        Phase(lambda e: arm_action(e, _exit_stage_pt(e, dest_fn),
+                                   grip=-1.0, gain=0.35),
+              lambda e: dest_fn(e)[2] < 1.30 or np.linalg.norm(
+                  e.eef_pos() - _exit_stage_pt(e, dest_fn)) < 0.06,
+              budget=120, name=f"exit:{tag}"),
         # success needs gripper_obj_far (> 0.25m): rise mostly straight
         # up (strong lateral motion can fling the just-released object).
         # Handle-grasp payloads get a slight base-ward drift — a
@@ -1329,7 +1482,8 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
             + (0.10 if carry_obj_offset else 0.0)
             * (e.data.body("robot0_base").xpos - e.eef_pos())
             * np.array([1, 1, 0]), grip=-1.0, gain=0.5),
-            lambda e: e.eef_pos()[2] > opos(e)[2] + 0.3,
+            lambda e: dest_fn(e)[2] >= 1.30
+            or e.eef_pos()[2] > opos(e)[2] + 0.3,
             budget=60, name=f"rise:{tag}"),
         Phase(lambda e: arm_action(
             e, e.eef_pos() + 0.5 * (
@@ -1337,7 +1491,23 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
             * np.array([1, 1, 0]), grip=-1.0, gain=0.5),
             lambda e: np.linalg.norm(e.eef_pos() - opos(e)) > 0.3,
             budget=60, name=f"retreat:{tag}"),
-    ]
+    ] + ([] if place_verify_fn is None else [
+        # opt-in: confirm the payload actually rests at its
+        # destination — a pinch that slips mid-carry completes the
+        # whole carry/release tail with an empty gripper (observed:
+        # a vegetable dropped into the sink on the way to the cutting
+        # board). Re-enter the approach at the object's CURRENT pose.
+        # jump all the way back to the torso reset: the place tail may
+        # have raised the torso (high dests), which puts counter
+        # objects out of reach if the retry skipped straight to the
+        # approach
+        Phase(lambda e: arm_action(e, e.eef_pos(), grip=-1.0),
+              place_verify_fn, budget=8, name=f"place_verify:{tag}",
+              goto_on_budget=(
+                  f"torso_down:{tag}" if not skip_torso_down
+                  else (f"reach:{tag}" if reach_phase else f"above:{tag}")),
+              retries=place_retries),
+    ])
 
 
 class PnPSinkPolicy(ScriptedPolicy):
@@ -1399,12 +1569,14 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
         front = np.array([math.sin(mw.yaw), -math.cos(mw.yaw), 0.0])
 
         def dest(e):
-            # eef height = cavity floor + 0.21: the held food hangs
-            # ~8cm below the grip site, so its bottom clears the
-            # cavity's front lip on the slide in
+            # eef height = cavity floor + 0.10: with bottom-origin
+            # object geoms the grip rides AT the food's origin, so the
+            # food's body sticks UP from the grip — at +0.21 the food's
+            # top pressed the cavity ceiling and the slide-in jammed at
+            # the opening (carry budget exhausted at the front lip)
             c, half = mw.interior_box()
             return mw.to_world(
-                np.array([c[0], c[1], c[2] - half[2] + 0.21])
+                np.array([c[0], c[1], c[2] - half[2] + 0.10])
             )
 
         def dest_stage(e):
@@ -1423,6 +1595,33 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
             env, mw, f"{mw.name}_microjoint", f"{mw.name}_door_handle",
             swing_budget=1100,
         )
+        # tuck the arm against the base before heading for the food:
+        # any straight eef line from the door-handle end pose sweeps
+        # the FOREARM through the fully-open panel and knocks it half
+        # shut (observed: door 1.57 -> 0.77 during the traverse, then
+        # the carry could never enter the blocked cavity). Tucked close
+        # and low, the arm stays inside the base footprint while the
+        # reach phase drives to the food.
+        def tuck_pt(e):
+            b = e.data.body("robot0_base").xpos
+            yaw = _base_yaw(e)
+            fwd = np.array([math.sin(yaw), -math.cos(yaw), 0.0])
+            return b + fwd * 0.30 + np.array([0.0, 0.0, 1.0 - b[2]])
+
+        phases += [
+            # drop straight down below the panel's bottom edge first —
+            # the swing leaves the eef on the far side of the open
+            # panel at panel height, and any lateral move there swats
+            # the door half shut
+            Phase(lambda e: arm_action(
+                      e, np.array([e.eef_pos()[0], e.eef_pos()[1], 1.0]),
+                      gain=0.7),
+                  lambda e: e.eef_pos()[2] < 1.10,
+                  budget=50, name="drop_below_door"),
+            Phase(_track(tuck_pt, gain=0.7),
+                  lambda e: np.linalg.norm(e.eef_pos() - tuck_pt(e)) < 0.07,
+                  budget=60, name="clear_door"),
+        ]
         # the door phases leave the base at the microwave vantage; the
         # food spawns on a neighboring counter, often out of arm reach
         phases += pick_place_phases("obj", dest, carry_gain=0.25,
@@ -1507,18 +1706,70 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
         def board_dest(dx):
             # one slot per vegetable: aiming both at the board center
             # makes the second carry sweep through the first vegetable
-            # and knock it off the board
+            # and knock it off the board. Slots sit EAST of center:
+            # the fingertips reach the board before a bottom-gripped
+            # tall vegetable can be set down, so the release is always
+            # a ~4cm drop that topples it and it rolls ~10cm west
+            # (traced twice on seed 0) — the east bias keeps the roll
+            # on the 32cm board
             def f(e):
                 return e.object_pos("cutting_board") + np.array(
                     [dx, 0, 0.10]
                 )
             return f
 
+        from lipvq_tpu.robocasa.sim.kitchen import check_obj_in_receptacle
+
+        def on_board(name):
+            return lambda e: check_obj_in_receptacle(e, name,
+                                                     "cutting_board")
+
+        # vegetables rest against the basin walls: a default-yaw grasp
+        # puts one finger INSIDE the wall and it jams open at ~74mm
+        # aperture with no contact (observed via finger-q trace). Close
+        # the fingers along the wall TANGENT so both finger paths stay
+        # parallel to the nearest wall.
+        sink_c = env.sink.to_world(env.sink.sample_region()[0])
+
+        def veg_yaw(name):
+            # live callable: re-resolved per step, so retries after a
+            # shove re-orient to the vegetable's CURRENT wall side
+            def f(e):
+                u = e.object_pos(name)[:2] - sink_c[:2]
+                n = float(np.linalg.norm(u))
+                if n < 0.04:
+                    return None
+                u = u / n
+                return _wrist_yaw_for(e, np.array([-u[1], u[0]]))
+            return f
+
         phases = []
-        for name, dx in (("vegetable1", -0.05), ("vegetable2", 0.05)):
+        for name, dx in (("vegetable1", 0.03), ("vegetable2", 0.10)):
             phases += pick_place_phases(name, board_dest(dx),
                                         carry_gain=0.25,
-                                        reach_phase=True, verify_grasp=True)
+                                        reach_phase=True, verify_grasp=True,
+                                        place_verify_fn=on_board(name),
+                                        wrist_yaw=veg_yaw(name),
+                                        # pinch at the EQUATOR, not the
+                                        # bottom tip: a tip-pinched tall
+                                        # vegetable pokes UP out of the
+                                        # grip, so every set-down is a
+                                        # 4cm drop that topples it off
+                                        # the board (roll direction
+                                        # varies seed to seed); an
+                                        # equator pinch hangs it below
+                                        # the fingertips and the lower
+                                        # phase can set it down with
+                                        # zero drop
+                                        grasp_dz=0.03,
+                                        pin_descend=True,
+                                        # release low: a 10cm drop
+                                        # bounces produce off the
+                                        # 1.6cm-thick board, and the
+                                        # below-equator grip tilts tall
+                                        # produce so it ROLLS on touch
+                                        # -- set it down, don't drop it
+                                        lower_dz=0.065)
         return phases
 
 
@@ -1529,33 +1780,68 @@ class RestockPantryPolicy(ScriptedPolicy):
 
     def build_phases(self, env):
         def dest(k):
-            # one slot per can on cab_obj1's far side from cab_obj2
-            # (the success ratio needs each can 2x closer to cab_obj1;
-            # sharing one slot lets the second carry knock the first
-            # can off the shelf)
+            # one slot per can, offset from cab_obj1 TOWARD cab_obj2
+            # (the cabinet center): cab_obj1 spawns against a side wall
+            # (pos=(side, -0.3)), so slots "away" from cab_obj2 land on
+            # or over the shelf edge — observed: the released can slid
+            # off and hit the floor. The 2x-closer success ratio holds
+            # for any slot within ~1/3 of the 0.66m can separation, so
+            # 7cm / 15cm toward the center keeps both cans on the shelf
+            # with margin (carry approaches along the cabinet depth, so
+            # slot 2 never sweeps slot 1).
             def f(e):
                 anchor_pos = e.object_pos("cab_obj1")
                 other = e.object_pos("cab_obj2")
-                away = anchor_pos - other
-                away = away / max(np.linalg.norm(away[:2]), 1e-6)
-                away[2] = 0.0
-                # the 2x-closer success ratio confines both cans to an
-                # ~8cm disc on cab_obj1's far side from cab_obj2: can 1
-                # takes the pure far-side slot, can 2 sits beside it
-                # toward the robot (so carry #2 approaches from the
-                # front and never sweeps slot 1)
-                b = e.data.body("robot0_base").xpos
-                side = np.array([-away[1], away[0], 0.0])
-                if np.dot(side[:2], b[:2] - anchor_pos[:2]) < 0:
-                    side = -side
-                off = away * 0.068 if k == 0 else away * 0.055 + side * 0.068
-                return anchor_pos + off + np.array([0, 0, 0.12])
+                sep = float(np.linalg.norm((other - anchor_pos)[:2]))
+                toward = other - anchor_pos
+                toward = toward / max(sep, 1e-6)
+                toward[2] = 0.0
+                # slots 10cm / 18cm toward the cabinet center: the
+                # 2x-closer ratio needs < sep/3 (~0.22 for the usual
+                # 0.66m can separation) from the anchor, 10cm keeps the
+                # slide-in path clear of the anchor can, and the 8cm
+                # slot gap exceeds a can diameter. A depth-offset slot
+                # was tried instead and sits past the arm's shelf-height
+                # reach envelope. Slide in high (+0.16, clearing shelf
+                # cans) — the lower_dz phase descends at the slot before
+                # releasing so the drop cannot tip the can.
+                off = toward * (0.10 if k == 0 else 0.18)
+                return anchor_pos + off + np.array([0, 0, 0.16])
             return f
+
+        cab = env.cab
+        front = np.array([math.sin(cab.yaw), -math.cos(cab.yaw)])
+
+        def stance(obj_name):
+            # face-on base stance before each pick: after the shelf
+            # placement the base has drifted laterally, and the arm
+            # servo pins ~3cm short of a laterally-offset counter
+            # target (observed: eef error frozen at 0.031m for 260
+            # steps on obj2) — realign squarely in front of the can
+            def tgt(e):
+                return e.object_pos(obj_name)[:2] + front * 0.62
+
+            return Phase(
+                lambda e: base_action(e, tgt(e), _base_yaw(e)),
+                lambda e: np.linalg.norm(
+                    e.data.body("robot0_base").xpos[:2] - tgt(e)) < 0.05,
+                budget=100, name=f"stance:{obj_name}")
+
+        from lipvq_tpu.robocasa.sim.kitchen import obj_inside_of
+
+        def placed_ok(name):
+            # mirror the task's per-can predicate: inside the cabinet
+            # AND 2x closer to the staged can than to the decoy
+            return lambda e: (obj_inside_of(e, name, e.cab)
+                              and e._close_to_cab_cans(name))
 
         phases = []
         for i, name in enumerate(("obj1", "obj2")):
+            phases.append(stance(name))
             phases += pick_place_phases(name, dest(i), carry_gain=0.25,
-                                        reach_phase=True, verify_grasp=True)
+                                        reach_phase=True, verify_grasp=True,
+                                        lower_dz=0.055,
+                                        place_verify_fn=placed_ok(name))
         return phases
 
 

@@ -48,12 +48,12 @@ RELIABLE = {
     "TurnOffSinkFaucet": (0,),
     "OpenSingleDoor": (0, 1),
     "CloseSingleDoor": (0, 1),
-    "OpenDoubleDoor": (0,),
+    "OpenDoubleDoor": (1,),
     "CloseDoubleDoor": (0,),
     "TurnSinkSpout": (0,),
     "TurnOnStove": (0,),
     "TurnOffStove": (1,),
-    "PnPCounterToSink": (1,),
+    "PnPCounterToSink": (0,),
     "PnPSinkToCounter": (0,),
     "PnPCounterToCab": (0, 2),
     "PnPCabToCounter": (0, 2),
@@ -64,7 +64,7 @@ RELIABLE = {
     "CoffeeSetupMug": (2, 3),
     "CoffeeServeMug": (0, 1),
     "ArrangeVegetables": (5,),
-    "MicrowaveThawing": (7,),
+    "MicrowaveThawing": (1,),
     "RestockPantry": (8,),
     "PreSoakPan": (0,),
     "PrepareCoffee": (0, 4),
