@@ -1160,7 +1160,12 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         return opos(e) + np.array([0, 0, gz])
 
     lift_state = {"z": None}
-    out_state = {"z": None}
+    out_state = {"z": None, "wtgt": None}
+
+    def _withdraw_tgt(e):
+        if out_state["wtgt"] is None:
+            out_state["wtgt"] = np.array(withdraw_fn(e))
+        return out_state["wtgt"]
     carry_state = {"off": None}
     verify_state = {"z0": None}
     descend_state = {"z": None, "stall": 0, "tgt": None, "yaw": None}
@@ -1330,6 +1335,7 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
         # re-entered on every grasp retry: clear per-attempt captures
         Phase(lambda e: (lift_state.update(z=None),
                          carry_state.update(off=None),
+                         out_state.update(wtgt=None),
                          lower_state.update(off=None, z0=None),
                          verify_state.update(z0=None),
                          descend_state.update(z=None, stall=0, tgt=None,
@@ -1388,9 +1394,16 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
               abort_on_budget=True),
     ]) + ([] if withdraw_fn is None else [
         # high-source tasks: pull straight out of the shelf/cavity at
-        # constant height before any vertical travel
-        Phase(lambda e: arm_action(e, withdraw_fn(e), grip=1.0, gain=0.2),
-              lambda e: np.linalg.norm(e.eef_pos() - withdraw_fn(e)) < 0.05,
+        # constant height before any vertical travel. The target is
+        # CAPTURED at phase entry: withdraw_fn computes from the held
+        # object's live pose, and a held object moves with the eef — a
+        # live target is a carrot on a stick that never converges
+        # (observed: the eef chased its own payload to the 2.32m
+        # gantry max, dragging the food diagonally out of the
+        # microwave and burning the 150-step budget every episode).
+        Phase(lambda e: arm_action(e, _withdraw_tgt(e), grip=1.0, gain=0.2),
+              lambda e: np.linalg.norm(
+                  e.eef_pos() - _withdraw_tgt(e)) < 0.05,
               budget=150, name=f"withdraw:{tag}"),
     ]) + ([] if not torso_down_mid else [
         Phase(torso_cmd(-1.0, grip=1.0), torso_neutral_done,
@@ -1991,8 +2004,12 @@ class PnPMicrowavePolicy(ScriptedPolicy):
             )
 
         if to_mw:
+            # pin_descend: the live-tracked descend plowed counter
+            # objects (observed: an object flung 4m off the counter
+            # during a grasp retry chase)
             return pick_place_phases("obj", mw_dest, carry_gain=0.25,
-                                     reach_phase=True, verify_grasp=True)
+                                     reach_phase=True, verify_grasp=True,
+                                     pin_descend=True)
 
         def withdraw_pt(e):
             o = e.object_pos("obj")
