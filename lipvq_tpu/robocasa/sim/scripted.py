@@ -1542,8 +1542,14 @@ class PnPSinkPolicy(ScriptedPolicy):
             )
 
         gp, wy = hollow_grasp(env, "obj")
+        # counter->sink grasps off the counter: pin the descend (the
+        # live-tracked cage plowed counter objects — one ended on the
+        # floor 4/6 diagnosed seeds). Sink->counter (1.00 measured)
+        # keeps the legacy stream.
+        to_sink = type(env).__name__ == "PnPCounterToSink"
         return pick_place_phases("obj", dest, grasp_pt_fn=gp, wrist_yaw=wy,
-                                 carry_obj_offset=gp is not None)
+                                 carry_obj_offset=gp is not None,
+                                 pin_descend=to_sink)
 
 
 # ===================== Multi-stage composites =========================
@@ -1954,9 +1960,11 @@ class PnPCabinetPolicy(ScriptedPolicy):
 
         if to_cab:
             gp, wy = hollow_grasp(env, "obj")
+            # counter-side grasp: pinned descend (see PnPSinkPolicy)
             return pick_place_phases("obj", cab_dest, carry_gain=0.25,
                                      grasp_pt_fn=gp, wrist_yaw=wy,
-                                     carry_obj_offset=gp is not None)
+                                     carry_obj_offset=gp is not None,
+                                     pin_descend=True)
 
         # source is the (high) cabinet shelf: torso up, grasp with a
         # shallow approach, withdraw straight out of the shelf front,
