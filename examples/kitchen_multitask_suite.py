@@ -44,6 +44,12 @@ TASKS = [
 OBS_KEYS = [
     "robot0_base_pos", "robot0_base_quat", "robot0_eef_pos",
     "robot0_eef_quat", "robot0_gripper_qpos", "robot0_base_to_eef_pos",
+    # task-fixture articulation (handle world pos + handle-to-eef +
+    # joint fractions, fixed 16-dim): the fixture-task analogue of the
+    # reference's object sensor vector. Without it the precision
+    # families (door handle hook, faucet lever) are state-blind and
+    # pinned at 0.0 closed-loop (BASELINE.md round-3 postmortem).
+    "fixture_state",
     "lang_emb",
 ]
 

@@ -59,6 +59,13 @@ from lipvq_tpu.robocasa.sim.robot import ACTION_DIM, RobotController, build_robo
 REGISTERED_KITCHEN_ENVS = {}
 
 
+def _wrap_pi(q):
+    """Wrap an angle to [-pi, pi): hinge angles reported mod 2*pi
+    (fixtures.py get_handle_state/get_knobs_state) jump 0 <-> 2*pi
+    around the rest pose, which a regression target cannot track."""
+    return float((q + math.pi) % (2 * math.pi) - math.pi)
+
+
 def register_kitchen_env(cls):
     """Reference kitchen.py:49-50."""
     REGISTERED_KITCHEN_ENVS[cls.__name__] = cls
@@ -606,10 +613,88 @@ class Kitchen:
             obs["object"] = np.concatenate(obj_states).astype(np.float32)
         else:
             obs["object"] = np.zeros(0, dtype=np.float32)
+        obs["fixture_state"] = self._fixture_state_obs(eef)
         if self.use_camera_obs:
             for cam in self.camera_names:
                 obs[f"{cam}_image"] = self.render_camera(cam)
         return obs
+
+    # fixture_state layout: FIXTURE_STATE_SLOTS slots of 8 dims each —
+    # grasp-point world pos (3), grasp-point minus eef (3), up to two
+    # articulation scalars (door/drawer fractions, or faucet handle +
+    # spout hinge angles wrapped to [-pi, pi)). Slots are the task's
+    # registered fixture refs in sorted-key order, zero-padded.
+    FIXTURE_STATE_SLOTS = 2
+
+    def _fixture_state_obs(self, eef):
+        """Task-fixture articulation observation.
+
+        The reference's low-dim configs expose manipulated-object state
+        through the ``object`` sensor vector (reference
+        kitchen.py:1232-1302); fixture-centric tasks (doors, drawers,
+        faucets) have no movable object, so their manipulated state —
+        handle world position and joint fraction — is exposed here with
+        a task-independent fixed dimension so MetaDataset mixtures can
+        batch it (same role the reference's per-task ``object`` key
+        plays for object-centric tasks).
+        """
+        slots = []
+        for fx in self._task_fixtures():
+            task_knob = getattr(self, "knob", None)
+            grasp_geoms = [getattr(fx, "handle_name", None),
+                           f"{fx.name}_handlebar"]
+            if isinstance(task_knob, str):
+                grasp_geoms.insert(0, f"{fx.name}_knobtab_{task_knob}")
+            grasp = None
+            for geom in grasp_geoms:
+                if geom is None:
+                    continue
+                try:
+                    grasp = np.asarray(self.geom_xpos(geom), dtype=float)
+                    break
+                except Exception:
+                    continue
+            if grasp is None:
+                grasp = fx.center
+            qs = []
+            try:
+                if hasattr(fx, "get_door_state"):
+                    d = fx.get_door_state(self)
+                    qs = [float(d[k]) for k in sorted(d)]
+                elif hasattr(fx, "get_handle_state"):
+                    d = fx.get_handle_state(self)
+                    qs = [_wrap_pi(d["handle_joint"]),
+                          _wrap_pi(d["spout_joint"])]
+                elif hasattr(fx, "get_knobs_state"):
+                    d = fx.get_knobs_state(self)
+                    order = sorted(d, key=lambda k: (k != task_knob, k))
+                    qs = [_wrap_pi(d[k]) for k in order]
+                if len(qs) < 2 and hasattr(fx, "get_state"):
+                    st = fx.get_state()
+                    qs += [float(st[k]) for k in sorted(st)
+                           if isinstance(st[k], (bool, int, float))]
+            except Exception:
+                qs = []
+            qs = (qs + [0.0, 0.0])[:2]
+            slots.append(np.concatenate([grasp, grasp - eef, qs]))
+        while len(slots) < self.FIXTURE_STATE_SLOTS:
+            slots.append(np.zeros(8))
+        return np.concatenate(slots).astype(np.float32)
+
+    def _task_fixtures(self):
+        """Fixtures whose state the task manipulates/references, most
+        task-central first: the robot's staging fixture (every task
+        points ``init_robot_base_pos`` at its work fixture) then any
+        registered fixture refs."""
+        fxs = []
+        base = getattr(self, "init_robot_base_pos", None)
+        if isinstance(base, Fixture):
+            fxs.append(base)
+        for key in sorted(self.fixture_refs):
+            fx = self.fixture_refs[key]
+            if all(fx is not f for f in fxs):
+                fxs.append(fx)
+        return fxs[: self.FIXTURE_STATE_SLOTS]
 
     def render_camera(self, camera_name, height=None, width=None):
         h = height or self.camera_heights

@@ -107,6 +107,37 @@ def test_fixture_state_apis():
     env.close()
 
 
+def test_fixture_state_observation():
+    """fixture_state obs: fixed 16-dim across tasks, tracks the task
+    fixture's articulation, and points at the handle (the low-dim
+    analogue of the reference's object sensor vector,
+    kitchen.py:1232-1302)."""
+    env = REGISTERED_KITCHEN_ENVS["OpenSingleDoor"](seed=4)
+    obs = env.reset()
+    fs = obs["fixture_state"]
+    assert fs.shape == (16,) and np.isfinite(fs).all()
+    handle = env.geom_xpos(env.door_fxtr.handle_name)
+    assert np.allclose(fs[:3], handle, atol=1e-6)
+    assert np.allclose(fs[3:6], handle - env.eef_pos(), atol=1e-6)
+    assert fs[6] < 0.05  # door closed
+    env.door_fxtr.set_door_state(min=0.95, max=1.0, env=env, rng=env.rng)
+    mujoco.mj_forward(env.model, env.data)
+    fs2 = env.get_observation()["fixture_state"]
+    assert fs2[6] > 0.9  # door fraction tracked
+    assert not np.allclose(fs2[:3], fs[:3])  # handle moved with door
+    env.close()
+
+    # fixed dim + articulation scalars on a faucet task too
+    env = REGISTERED_KITCHEN_ENVS["TurnOnSinkFaucet"](seed=2)
+    obs = env.reset()
+    assert obs["fixture_state"].shape == (16,)
+    sink = env.sink
+    sink.set_handle_state(env=env, rng=env.rng, mode="on")
+    fs_on = env.get_observation()["fixture_state"]
+    assert abs(fs_on[6]) > 0.3  # handle joint angle visible
+    env.close()
+
+
 def test_door_success_via_joint():
     """Scripted door opening flips _check_success (reference
     kitchen_doors.py:69-88)."""
