@@ -115,6 +115,11 @@ class ICLTransformerGMM(PolicyAlgo):
                 if str(tc.get("compute_dtype", "float32")) == "float32"
                 else str(tc.get("compute_dtype"))
             ),
+            activation_dtype=(
+                None
+                if str(tc.get("activation_dtype", "float32")) == "float32"
+                else str(tc.get("activation_dtype"))
+            ),
             backbone=self.backbone,
             action_input_shape=self.ac_dim,
             vq_vae_enabled=bool(tc.vq_vae_enabled),

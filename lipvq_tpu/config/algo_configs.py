@@ -110,6 +110,14 @@ def _seq_backbone_defaults(section):
     # tokenizer always stays fp32 for token-ID parity. Set "float32" for
     # bit-level reference parity runs.
     section.compute_dtype = "bfloat16"
+    # TPU extension: backbone RESIDUAL-STREAM precision. The round-3
+    # roofline profile (BASELINE.md) showed the saturated train step
+    # runs at ~101% of its HBM-bytes floor — activation traffic, not
+    # matmul speed, bounds MFU. "bfloat16" halves every saved backbone
+    # activation (params, LayerNorm stats, attention softmax and the
+    # final output stay fp32). Default fp32 preserves reference
+    # training dynamics bit-for-bit; flip for throughput runs.
+    section.activation_dtype = "float32"
 
 
 class ICLConfig(BaseConfig):

@@ -362,6 +362,7 @@ class MIMOTransformer(nn.Module):
     activation: str = "gelu"
     remat: bool = False
     compute_dtype: str | None = None
+    activation_dtype: str | None = None  # bf16 residual stream (see GPTBackbone)
     encoder_cores: ObsSpec = ()
 
     def setup(self):
@@ -388,6 +389,7 @@ class MIMOTransformer(nn.Module):
             activation=self.activation,
             remat=self.remat,
             compute_dtype=self.compute_dtype,
+            activation_dtype=self.activation_dtype,
         )
         self.decoder = ObservationDecoder(self.output_spec)
 
@@ -440,6 +442,7 @@ class ICLMIMOTransformer(nn.Module):
     activation: str = "gelu"
     remat: bool = False
     compute_dtype: str | None = None
+    activation_dtype: str | None = None  # bf16 residual stream (see GPTBackbone)
     action_input_shape: int = 12
     vq_vae_enabled: bool = False
     bin_enabled: bool = False
@@ -507,6 +510,7 @@ class ICLMIMOTransformer(nn.Module):
                 activation=self.activation,
                 remat=self.remat,
                 compute_dtype=self.compute_dtype,
+                activation_dtype=self.activation_dtype,
             )
         self.decoder = ObservationDecoder(self.output_spec)
 

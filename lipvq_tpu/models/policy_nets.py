@@ -58,6 +58,7 @@ class ICLGMMActorNetwork(nn.Module):
     activation: str = "gelu"
     remat: bool = False
     compute_dtype: str | None = None
+    activation_dtype: str | None = None  # bf16 residual stream (see GPTBackbone)
     backbone: str = "transformer"
     action_input_shape: int = 12
     vq_vae_enabled: bool = False
@@ -93,6 +94,7 @@ class ICLGMMActorNetwork(nn.Module):
             activation=self.activation,
             remat=self.remat,
             compute_dtype=self.compute_dtype,
+            activation_dtype=self.activation_dtype,
             action_input_shape=self.action_input_shape,
             vq_vae_enabled=self.vq_vae_enabled,
             bin_enabled=self.bin_enabled,
@@ -173,6 +175,7 @@ class ICLActorNetwork(ICLGMMActorNetwork):
             activation=self.activation,
             remat=self.remat,
             compute_dtype=self.compute_dtype,
+            activation_dtype=self.activation_dtype,
             action_input_shape=self.action_input_shape,
             vq_vae_enabled=self.vq_vae_enabled,
             bin_enabled=self.bin_enabled,

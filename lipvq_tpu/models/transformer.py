@@ -164,10 +164,22 @@ class GPTBackbone(nn.Module):
     activation: str = "gelu"
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
     compute_dtype: str | None = None  # "bfloat16" -> MXU mixed precision
+    # "bfloat16" keeps the RESIDUAL STREAM (and therefore every saved
+    # activation of the backbone) in bf16 end-to-end: the measured
+    # round-3 roofline showed the saturated train step runs at ~101% of
+    # its HBM-bytes floor with fp32 activations, so halving activation
+    # traffic — not faster matmuls — is the lever. Params, LayerNorm
+    # statistics (fp32 via flax dtype promotion against fp32 params),
+    # attention logits/softmax, and the final output all stay fp32.
+    # Pair with compute_dtype="bfloat16" or the Dense promotions undo
+    # most of the savings.
+    activation_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert x.shape[1:] == (self.context_length, self.embed_dim), x.shape
+        if self.activation_dtype is not None:
+            x = x.astype(jnp.dtype(self.activation_dtype))
         block_cls = SelfAttentionBlock
         if self.remat:
             block_cls = nn.remat(SelfAttentionBlock,

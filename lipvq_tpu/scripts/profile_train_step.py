@@ -36,7 +36,8 @@ V5E_BF16_PEAK = 197e12  # chip peak (marketing bf16)
 V5E_R2_PEAK = 39.6e12  # the round-2 comparison figure (per-core fp32-ish)
 
 
-def make_lowdim_model(batch_size, compute_dtype="float32"):
+def make_lowdim_model(batch_size, compute_dtype="float32",
+                      activation_dtype="float32"):
     import lipvq_tpu.algo  # noqa: F401
     from lipvq_tpu.algo.base import algo_factory
     from lipvq_tpu.config import config_factory
@@ -58,6 +59,7 @@ def make_lowdim_model(batch_size, compute_dtype="float32"):
                 "embed_dim": 512, "num_layers": 6, "num_heads": 8,
                 "vq_vae_enabled": True, "ln_act_enabled": False,
                 "compute_dtype": compute_dtype,
+                "activation_dtype": activation_dtype,
             },
             "vq": {"num_codes": 1024},
         },
@@ -68,7 +70,8 @@ def make_lowdim_model(batch_size, compute_dtype="float32"):
     return model, obs_key_shapes
 
 
-def make_image_model(batch_size=16, img=128, compute_dtype="float32"):
+def make_image_model(batch_size=16, img=128, compute_dtype="float32",
+                     activation_dtype="float32"):
     import lipvq_tpu.algo  # noqa: F401
     from lipvq_tpu.algo.base import algo_factory
     from lipvq_tpu.config import config_factory
@@ -92,6 +95,7 @@ def make_image_model(batch_size=16, img=128, compute_dtype="float32"):
                 "embed_dim": 512, "num_layers": 6, "num_heads": 8,
                 "vq_vae_enabled": True, "ln_act_enabled": False,
                 "compute_dtype": compute_dtype,
+                "activation_dtype": activation_dtype,
             },
             "vq": {"num_codes": 1024},
         },
@@ -180,6 +184,11 @@ def main(argv=None):
                     default="float32",
                     help="backbone compute dtype (the round-2 bench and "
                          "the shipped template use bfloat16)")
+    ap.add_argument("--activations", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="backbone residual-stream dtype: bfloat16 halves "
+                         "saved-activation HBM traffic (the round-3 "
+                         "roofline lever)")
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args(argv)
@@ -191,9 +200,13 @@ def main(argv=None):
                                if args.mode == "lowdim" else [16, 32, 64])
     for b in batches:
         if args.mode == "lowdim":
-            model, shapes = make_lowdim_model(b, compute_dtype=args.dtype)
+            model, shapes = make_lowdim_model(
+                b, compute_dtype=args.dtype,
+                activation_dtype=args.activations)
         else:
-            model, shapes = make_image_model(b, compute_dtype=args.dtype)
+            model, shapes = make_image_model(
+                b, compute_dtype=args.dtype,
+                activation_dtype=args.activations)
         batch = device_batch(model, shapes, b)
         flops, nbytes = step_flops(model, batch)
         dt = measure(model, batch, iters=args.iters)
@@ -201,6 +214,7 @@ def main(argv=None):
         row = {
             "mode": args.mode,
             "dtype": args.dtype,
+            "activations": args.activations,
             "batch": b,
             "step_ms": round(dt * 1e3, 2),
             "samples_per_s": round(b / dt, 1),

@@ -152,3 +152,23 @@ def test_obs_normalization_stats(tmp_path):
     normed = normalize_dict({"object": allobj}, stats)["object"]
     assert abs(normed.mean()) < 1e-3
     assert abs(normed.std() - 1.0) < 1e-2
+
+
+def test_icl_bf16_activation_stream(rng):
+    """activation_dtype="bfloat16" keeps the backbone residual stream in
+    bf16 (the round-3 HBM-roofline lever): the train step must stay
+    finite and match the fp32-residual loss closely on the same batch
+    (params, LN stats, softmax and the GMM head remain fp32)."""
+    batch = _batch(rng)
+    losses = {}
+    for ad in ("float32", "bfloat16"):
+        cfg = _cfg(compute_dtype="bfloat16", activation_dtype=ad)
+        model = algo_factory("icl", cfg, OBS, ac_dim=12)
+        pb = model.process_batch_for_training(batch)
+        info = model.train_on_batch(pb, epoch=0)
+        losses[ad] = float(info["losses"]["action_loss"])
+        assert np.isfinite(losses[ad])
+    # bf16 rounding of 64-dim activations: well under 1% on the NLL
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * (
+        1.0 + abs(losses["float32"])
+    )
