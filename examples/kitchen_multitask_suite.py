@@ -111,6 +111,13 @@ def make_config(args, paths):
         # lang-reliance, which is what transfers to rollouts.
         "group_task_batches": bool(getattr(args, "pair_task_batches",
                                            False)),
+        # task-balanced sampling: per-task timestep counts in these
+        # corpora vary 10x (measured r3e: OpenSingleDoor 39.7% of
+        # samples, TurnOffSinkFaucet 3.8% — expert episode length
+        # differs per family), so per-item uniform sampling starves
+        # the short-demo precision tasks
+        "normalize_weights_by_ds_size": bool(
+            getattr(args, "balance_tasks", False)),
         "output_dir": os.path.join(args.out, "run"),
     })
     d["experiment"].update({
@@ -228,6 +235,10 @@ def main():
                          "(closed-loop manipulation needs ~0.05: noise-free "
                          "corpora leave the policy no recovery data)")
     ap.add_argument("--recollect", action="store_true")
+    ap.add_argument("--balance_tasks", action="store_true",
+                    help="equal per-TASK sampling probability in the "
+                         "MetaDataset mixture (per-task timestep counts "
+                         "vary 10x across families)")
     ap.add_argument("--pair_task_batches", action="store_true",
                     help="task-aligned ctx/qry batch halves (measured "
                          "worse closed-loop than plain shuffling — see "

@@ -129,6 +129,12 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         # multi-task MetaDataset only: draw every batch from ONE
         # sub-dataset so ICL context/query halving pairs same-task demos
         t.group_task_batches = False
+        # multi-task MetaDataset only: weight each sub-dataset's items
+        # by 1/len so every TASK gets equal sampling probability
+        # (reference MetaDataset normalize_weights_by_ds_size,
+        # dataset.py:1069-1078); False = per-item uniform, which lets
+        # long-demo tasks dominate the mixture
+        t.normalize_weights_by_ds_size = False
         t.hdf5_cache_mode = "all"
         t.hdf5_use_swmr = True
         t.hdf5_load_next_obs = True

@@ -570,7 +570,8 @@ class MetaDataset:
                 num_samples or len(self), seed=seed,
                 normalize_weights_by_ds_size=self.normalize_weights_by_ds_size,
             )
-        if all(w == 1.0 for w in self.ds_weights):
+        if (all(w == 1.0 for w in self.ds_weights)
+                and not self.normalize_weights_by_ds_size):
             return None
         weights = np.zeros(len(self))
         for i, (ds_len, w) in enumerate(

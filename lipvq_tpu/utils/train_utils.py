@@ -75,7 +75,12 @@ def load_data_for_training(config, obs_keys, lang_encoder=None):
             )
             datasets.append(ds)
             weights.append(float(spec.get("weight", 1.0)))
-        train_ds = MetaDataset(datasets, ds_weights=weights)
+        train_ds = MetaDataset(
+            datasets, ds_weights=weights,
+            normalize_weights_by_ds_size=bool(
+                config.train.get("normalize_weights_by_ds_size", False)
+            ),
+        )
         return train_ds, None
 
     train_ds = dataset_factory(

@@ -62,6 +62,23 @@ def test_weighted_sampler(two_datasets):
     assert MetaDataset([ds1, ds2]).get_dataset_sampler() is None
 
 
+def test_task_balanced_sampler(two_datasets):
+    """normalize_weights_by_ds_size=True -> equal per-DATASET probability
+    even with unit weights (reference dataset.py:1069-1078); measured 10x
+    per-task timestep imbalance in the kitchen suite corpora motivates it."""
+    ds1, ds2 = two_datasets
+    meta = MetaDataset([ds1, ds2], normalize_weights_by_ds_size=True)
+    sampler = meta.get_dataset_sampler(num_samples=4000, seed=0)
+    assert sampler is not None  # unit weights still need the sampler
+    counts = [0, 0]
+    boundary = len(ds1)
+    for i in sampler:
+        counts[0 if i < boundary else 1] += 1
+    # ds1 has 80 seqs, ds2 60: balanced mode should sample ~50/50
+    ratio = counts[1] / max(counts[0], 1)
+    assert 0.85 < ratio < 1.18, counts
+
+
 def test_mse_metrics():
     from lipvq_tpu.utils.vis_utils import compute_mse_metrics
 
