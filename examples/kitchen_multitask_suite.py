@@ -123,7 +123,13 @@ def make_config(args, paths):
     d["experiment"].update({
         "epoch_every_n_steps": args.steps_per_epoch,
         "rollout": {"enabled": False},
-        "save": {"enabled": True, "every_n_epochs": args.epochs},
+        # periodic checkpoints feed post-hoc best-checkpoint selection
+        # (the restartable analogue of the reference's in-training
+        # save-on-best-rollout protocol, train.py:417-430)
+        "save": {
+            "enabled": True,
+            "every_n_epochs": args.save_every or args.epochs,
+        },
         "validate": False,
     })
     d["algo"]["transformer"].update(
@@ -144,7 +150,7 @@ def make_config(args, paths):
     return config_factory("icl", d)
 
 
-def evaluate(args, paths, ckpt_path):
+def evaluate(args, paths, ckpt_path, episodes=None, cache_name=None):
     import copy
 
     from lipvq_tpu.algo.rollout_policy import ICLRolloutPolicy
@@ -154,11 +160,12 @@ def evaluate(args, paths, ckpt_path):
     from lipvq_tpu.utils import train_utils as TrainUtils
     from lipvq_tpu.utils.lang_utils import LangEncoder
 
+    episodes = episodes or args.eval_episodes
     model, ckpt = FileUtils.policy_from_checkpoint(ckpt_path)
     lang_encoder = LangEncoder()
     # incremental, restartable: completed tasks persist and are skipped
     # on relaunch (the eval runs ~1h over a dev tunnel that can drop)
-    partial_path = os.path.join(args.out, "success_table.json")
+    partial_path = os.path.join(args.out, cache_name or "success_table.json")
     table = {}
     if os.path.exists(partial_path):
         table = json.load(open(partial_path)).get("per_task", {})
@@ -197,7 +204,7 @@ def evaluate(args, paths, ckpt_path):
         # across N identical envs would replay one episode N times).
         env_meta = FileUtils.get_env_metadata_from_dataset(path)
         fns = []
-        for i in range(args.eval_episodes):
+        for i in range(episodes):
             meta_i = copy.deepcopy(env_meta)
             meta_i.setdefault("env_kwargs", {})["seed"] = 1000 + i
             fns.append(lambda m=meta_i: create_env_from_metadata(m))
@@ -213,7 +220,7 @@ def evaluate(args, paths, ckpt_path):
         rate = float(logs["Success_Rate"])
         table[task] = rate
         print(f"[eval] {task}: success={rate:.2f} "
-              f"({args.eval_episodes} episodes, {time.time() - t0:.0f}s, "
+              f"({episodes} episodes, {time.time() - t0:.0f}s, "
               f"mean horizon {logs['Horizon']:.0f})", flush=True)
         for e in vec.envs:
             (e.unwrapped if hasattr(e, "unwrapped") else e).close()
@@ -228,6 +235,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--steps_per_epoch", type=int, default=300)
     ap.add_argument("--eval_episodes", type=int, default=10)
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="checkpoint every N epochs (0 = final only); "
+                         "feeds best-checkpoint screening")
+    ap.add_argument("--screen_episodes", type=int, default=0,
+                    help="episodes/task for the best-checkpoint screen "
+                         "over all periodic saves (0 = eval final only)")
+    ap.add_argument("--screen_last", type=int, default=3,
+                    help="screen only the newest K periodic checkpoints "
+                         "(env stepping on a 1-vCPU host is the cost)")
     ap.add_argument("--horizon", type=int, default=500)
     ap.add_argument("--out", type=str, default="/tmp/kitchen_suite")
     ap.add_argument("--action_noise", type=float, default=0.0,
@@ -264,7 +280,6 @@ def main():
                       recursive=True),
             key=os.path.getmtime,
         )
-        ckpt_path = ckpts[-1]
     else:
         from lipvq_tpu.scripts.train import train
 
@@ -274,14 +289,39 @@ def main():
         print(f"[train] done in {time.time() - t0:.0f}s", flush=True)
         ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "*.ckpt")),
                        key=os.path.getmtime)
-        ckpt_path = ckpts[-1]
+    ckpt_path = ckpts[-1]
+
+    # rollout-based best-checkpoint selection (reference protocol:
+    # rollout every N epochs, keep the best — train.py:417-430). Post
+    # hoc over the periodic saves: screen each checkpoint with a small
+    # episode budget, then run the full eval on the winner. The final
+    # epoch is NOT reliably the best — multi-task capacity allocation
+    # drifts across epochs at near-identical train LL (BASELINE.md).
+    if args.screen_episodes > 0 and len(ckpts) > 1:
+        screen = {}
+        for ck in ckpts[-args.screen_last:]:
+            tag = os.path.splitext(os.path.basename(ck))[0]
+            t0 = time.time()
+            tbl = evaluate(args, paths, ck, episodes=args.screen_episodes,
+                           cache_name=f"screen_{tag}.json")
+            screen[ck] = sum(tbl.values()) / len(tbl)
+            print(f"[screen] {tag}: mean={screen[ck]:.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        ckpt_path = max(screen, key=screen.get)
+        print(f"[screen] best: {os.path.basename(ckpt_path)} "
+              f"(mean {screen[ckpt_path]:.3f})", flush=True)
+        with open(os.path.join(args.out, "screen_table.json"), "w") as f:
+            json.dump({os.path.basename(k): v for k, v in screen.items()},
+                      f, indent=2)
 
     table = evaluate(args, paths, ckpt_path)
     mean = sum(table.values()) / len(table)
     print(json.dumps({"per_task": table, "mean": round(mean, 3),
-                      "episodes_per_task": args.eval_episodes}))
+                      "episodes_per_task": args.eval_episodes,
+                      "ckpt": os.path.basename(ckpt_path)}))
     with open(os.path.join(args.out, "success_table.json"), "w") as f:
-        json.dump({"per_task": table, "mean": mean}, f, indent=2)
+        json.dump({"per_task": table, "mean": mean,
+                   "ckpt": os.path.basename(ckpt_path)}, f, indent=2)
 
 
 if __name__ == "__main__":
