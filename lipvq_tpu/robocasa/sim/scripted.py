@@ -71,7 +71,8 @@ def base_action(env, target_xy, target_yaw, grip=-1.0):
 
 class Phase:
     def __init__(self, act_fn, done_fn, budget=120, name="",
-                 goto_on_budget=None, retries=0, abort_on_budget=False):
+                 goto_on_budget=None, retries=0, abort_on_budget=False,
+                 abort_to=None):
         self.act = act_fn
         self.done = done_fn
         self.budget = budget
@@ -85,6 +86,13 @@ class Phase:
         # give up entirely once retries are exhausted (ends the episode
         # instead of walking an empty gripper through the carry tail)
         self.abort_on_budget = abort_on_budget
+        # group-scoped abort: jump FORWARD to the named phase once
+        # retries are exhausted, skipping the rest of this phase group
+        # but leaving later groups alive — an episode-level abort on
+        # object 1 of a two-object task forfeited object 2 as well
+        # (traced on ArrangeVegetables: 4/10 failures stranded BOTH
+        # vegetables after a single unrecoverable grasp)
+        self.abort_to = abort_to
 
 
 class ScriptedPolicy:
@@ -131,6 +139,8 @@ class ScriptedPolicy:
                         and self._retries_left.get(cur, 0) > 0
                         and self._jump(ph.goto_on_budget)):
                     self._retries_left[cur] -= 1
+                    continue
+                if ph.abort_to and self._jump(ph.abort_to):
                     continue
                 if ph.abort_on_budget:
                     self._idx = len(self._phases)
@@ -1391,7 +1401,7 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
               budget=4, name=f"verify:{tag}",
               goto_on_budget=(f"reach:{tag}" if reach_phase
                               else f"above:{tag}"), retries=3,
-              abort_on_budget=True),
+              abort_to=f"group_end:{tag}"),
     ]) + ([] if withdraw_fn is None else [
         # high-source tasks: pull straight out of the shelf/cavity at
         # constant height before any vertical travel. The target is
@@ -1520,7 +1530,12 @@ def pick_place_phases(obj_name, dest_fn, lift_dz=0.25, grasp_dz=-0.02,
                   f"torso_down:{tag}" if not skip_torso_down
                   else (f"reach:{tag}" if reach_phase else f"above:{tag}")),
               retries=place_retries),
-    ])
+    ]) + [
+        # group-end label: target of the verify phase's group-scoped
+        # abort. done=True, so it never consumes an env step.
+        Phase(lambda e: np.zeros(12), lambda e: True, budget=1,
+              name=f"group_end:{tag}"),
+    ]
 
 
 class PnPSinkPolicy(ScriptedPolicy):
@@ -1722,7 +1737,7 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
     (arrange_vegetables.py:96-110)."""
 
     def build_phases(self, env):
-        def board_dest(dx):
+        def board_dest(dx, dy):
             # one slot per vegetable: aiming both at the board center
             # makes the second carry sweep through the first vegetable
             # and knock it off the board. Slots sit EAST of center:
@@ -1730,10 +1745,14 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
             # tall vegetable can be set down, so the release is always
             # a ~4cm drop that topples it and it rolls ~10cm west
             # (traced twice on seed 0) — the east bias keeps the roll
-            # on the 32cm board
+            # on the 32cm board. Y-separated slots were measured WORSE
+            # (0.08 vs 0.17 over 12 seeds): the board's usable y extent
+            # is narrower than x and rolls are along x, so y offsets
+            # push releases off the edge — x slots stand despite the
+            # second carry occasionally clipping slot 1
             def f(e):
                 return e.object_pos("cutting_board") + np.array(
-                    [dx, 0, 0.10]
+                    [dx, dy, 0.10]
                 )
             return f
 
@@ -1763,8 +1782,9 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
             return f
 
         phases = []
-        for name, dx in (("vegetable1", 0.03), ("vegetable2", 0.10)):
-            phases += pick_place_phases(name, board_dest(dx),
+        for name, dx, dy in (("vegetable1", 0.03, 0.0),
+                             ("vegetable2", 0.10, 0.0)):
+            phases += pick_place_phases(name, board_dest(dx, dy),
                                         carry_gain=0.25,
                                         reach_phase=True, verify_grasp=True,
                                         place_verify_fn=on_board(name),
@@ -1788,7 +1808,15 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
                                         # below-equator grip tilts tall
                                         # produce so it ROLLS on touch
                                         # -- set it down, don't drop it
-                                        lower_dz=0.065)
+                                        lower_dz=0.065,
+                                        # release scatter is ~iid per
+                                        # attempt (direction varies with
+                                        # contact micro-state): extra
+                                        # re-place attempts compound —
+                                        # traced failures mostly ended
+                                        # 10-25cm off the board with
+                                        # retries exhausted
+                                        place_retries=4)
         return phases
 
 

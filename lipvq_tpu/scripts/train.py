@@ -130,7 +130,7 @@ def train(config, eval_only: bool = False):
         obs_normalization_stats = train_ds.get_obs_normalization_stats()
 
     train_loader, valid_loader, context_loader = TrainUtils.make_loaders(
-        config, train_ds, valid_ds
+        config, train_ds, valid_ds, model=model
     )
 
     # optional rollout envs

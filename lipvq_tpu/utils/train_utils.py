@@ -38,7 +38,12 @@ def dataset_factory(config, obs_keys, filter_by_attribute=None,
         pad_frame_stack=config.train.pad_frame_stack,
         pad_seq_length=config.train.pad_seq_length,
         goal_mode=config.train.goal_mode,
-        hdf5_cache_mode=config.train.hdf5_cache_mode,
+        # "device" is a loader-level mode (HBM-resident corpus, see
+        # DeviceCachedLoader); the dataset itself caches low_dim so the
+        # one-time materialization pass reads RAM, not HDF5
+        hdf5_cache_mode=("low_dim"
+                         if config.train.hdf5_cache_mode == "device"
+                         else config.train.hdf5_cache_mode),
         hdf5_use_swmr=config.train.hdf5_use_swmr,
         filter_by_attribute=filter_by_attribute,
         load_next_obs=config.train.hdf5_load_next_obs,
@@ -106,8 +111,12 @@ def run_epoch(model, data_loader, epoch: int, validate: bool = False,
     Returns step_log with averaged losses + ``Time_*`` phase minutes.
     """
     it = data_loader if isinstance(data_loader, CyclingIterator) else CyclingIterator(data_loader)
+    inner = data_loader.loader if isinstance(data_loader, CyclingIterator) else data_loader
     if num_steps is None:
-        num_steps = len(data_loader.loader if isinstance(data_loader, CyclingIterator) else data_loader)
+        num_steps = len(inner)
+    # device-cached loaders yield already-preprocessed device batches;
+    # re-processing would np.asarray them back onto the host
+    preprocessed = getattr(inner, "preprocessed", False)
 
     timing = {"Data_Loading": 0.0, "Process_Batch": 0.0, "Train_Batch": 0.0,
               "Log_Info": 0.0}
@@ -123,7 +132,8 @@ def run_epoch(model, data_loader, epoch: int, validate: bool = False,
         timing["Data_Loading"] += time.time() - t0
 
         t0 = time.time()
-        input_batch = model.process_batch_for_training(batch)
+        input_batch = (batch if preprocessed
+                       else model.process_batch_for_training(batch))
         timing["Process_Batch"] += time.time() - t0
 
         t0 = time.time()
@@ -193,8 +203,12 @@ def should_save_from_rollout_logs(rollout_logs, best_return, best_success_rate,
     return should_save, epoch_ckpt_name, best_return, best_success_rate
 
 
-def make_loaders(config, train_ds, valid_ds):
-    from lipvq_tpu.data.loaders import MultiprocessLoader, PrefetchLoader
+def make_loaders(config, train_ds, valid_ds, model=None):
+    from lipvq_tpu.data.loaders import (
+        DeviceCachedLoader,
+        MultiprocessLoader,
+        PrefetchLoader,
+    )
 
     sampler = None
     if hasattr(train_ds, "get_dataset_sampler"):
@@ -205,6 +219,27 @@ def make_loaders(config, train_ds, valid_ds):
         sampler = train_ds.get_dataset_sampler(
             seed=config.train.seed, batch_size=group_bs
         )
+    if config.train.hdf5_cache_mode == "device" and model is not None:
+        if config.train.get("group_task_batches", False):
+            raise ValueError(
+                "hdf5_cache_mode='device' draws i.i.d. weighted indices "
+                "and cannot honor group_task_batches; use 'low_dim'"
+            )
+        train_loader = DeviceCachedLoader(
+            train_ds, batch_size=config.train.batch_size, model=model,
+            seed=config.train.seed, sampler=sampler,
+        )
+        valid_loader = None
+        if valid_ds is not None:
+            valid_loader = DataLoader(
+                valid_ds, batch_size=config.train.batch_size, shuffle=True,
+                seed=config.train.seed + 1,
+            )
+        context_loader = DataLoader(
+            train_ds, batch_size=1, shuffle=True, seed=config.train.seed + 2,
+            drop_last=False,
+        )
+        return train_loader, valid_loader, context_loader
     n_workers = int(config.train.num_data_workers or 0)
     if n_workers > 1:
         # worker PROCESSES like the reference's torch
