@@ -63,9 +63,7 @@ def test_device_cache_batches_match_host_path(corpus_pair, tmp_path):
     cfg, model, ds = _build({"hdf5_cache_mode": "device"}, a, tmp_path)
     loader = DeviceCachedLoader(ds, batch_size=4, model=model, seed=0)
     idx = np.array([0, 3, 7, 11])
-    import jax.numpy as jnp
-
-    got = loader._gather(loader._corpus, jnp.asarray(idx))
+    got = loader.gather(idx)
     want = model.process_batch_for_training(
         stack_collate([ds[int(i)] for i in idx])
     )
@@ -73,6 +71,9 @@ def test_device_cache_batches_match_host_path(corpus_pair, tmp_path):
 
     for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # item-constant leaves (lang_emb: one language per corpus) must
+    # deduplicate to a tiny table — the whole point of the row tables
+    assert min(len(t) for t in loader._tables) < loader._n
 
 
 def test_device_cache_trains_and_matches_loss_scale(corpus_pair, tmp_path):
