@@ -247,6 +247,13 @@ def main():
     ap.add_argument("--screen_last", type=int, default=3,
                     help="screen only the newest K periodic checkpoints "
                          "(env stepping on a 1-vCPU host is the cost)")
+    ap.add_argument("--screen_epochs", type=str, default="",
+                    help="comma-separated epoch numbers to screen (e.g. "
+                         "'120,240'); overrides --screen_last. Long runs "
+                         "overfit closed-loop well before the final save "
+                         "(BASELINE.md r3h: drawer tasks 0.45->0.0 by epoch "
+                         "360), so the EARLY saves are the ones worth "
+                         "screening")
     ap.add_argument("--horizon", type=int, default=500)
     ap.add_argument("--out", type=str, default="/tmp/kitchen_suite")
     ap.add_argument("--action_noise", type=float, default=0.0,
@@ -301,8 +308,15 @@ def main():
     # epoch is NOT reliably the best — multi-task capacity allocation
     # drifts across epochs at near-identical train LL (BASELINE.md).
     if args.screen_episodes > 0 and len(ckpts) > 1:
+        if args.screen_epochs:
+            want = {f"model_epoch_{e.strip()}" for e in
+                    args.screen_epochs.split(",") if e.strip()}
+            to_screen = [c for c in ckpts
+                         if os.path.splitext(os.path.basename(c))[0] in want]
+        else:
+            to_screen = ckpts[-args.screen_last:]
         screen = {}
-        for ck in ckpts[-args.screen_last:]:
+        for ck in to_screen:
             tag = os.path.splitext(os.path.basename(ck))[0]
             t0 = time.time()
             tbl = evaluate(args, paths, ck, episodes=args.screen_episodes,
