@@ -41,6 +41,19 @@ TASKS = [
     ("TurnSinkSpout", 9, 0, 0),
 ]
 
+# --task_set wide: +5 fixture families (microwave/coffee buttons, stove
+# knobs) — every family whose goal is identified by proprio +
+# fixture_state + lang, with 0.65-1.0-reliability scripted experts
+# (BASELINE.md expert table), widening the suite toward the reference's
+# ~29-task protocol breadth
+WIDE_TASKS = TASKS + [
+    ("TurnOnMicrowave", 6, 0, 0),
+    ("TurnOffMicrowave", 8, 0, 0),
+    ("CoffeePressButton", 10, 0, 0),
+    ("TurnOnStove", 12, 0, 0),
+    ("TurnOffStove", 13, 0, 0),
+]
+
 OBS_KEYS = [
     "robot0_base_pos", "robot0_base_quat", "robot0_eef_pos",
     "robot0_eef_quat", "robot0_gripper_qpos", "robot0_base_to_eef_pos",
@@ -58,7 +71,9 @@ def collect(args):
     from lipvq_tpu.scripts.collect_kitchen_suite import collect_task
 
     paths = {}
-    for task, seed, layout, style in TASKS:
+    tasks = WIDE_TASKS if getattr(args, "task_set", "core") == "wide" \
+        else TASKS
+    for task, seed, layout, style in tasks:
         path = os.path.join(args.out, f"{task}.hdf5")
         if os.path.exists(path) and not args.recollect:
             paths[task] = path
@@ -254,6 +269,9 @@ def main():
                          "(BASELINE.md r3h: drawer tasks 0.45->0.0 by epoch "
                          "360), so the EARLY saves are the ones worth "
                          "screening")
+    ap.add_argument("--task_set", choices=("core", "wide"), default="core",
+                    help="core = the 8 round-3 families; wide adds 5 "
+                         "button/knob fixture families (13 total)")
     ap.add_argument("--horizon", type=int, default=500)
     ap.add_argument("--out", type=str, default="/tmp/kitchen_suite")
     ap.add_argument("--action_noise", type=float, default=0.0,

@@ -37,7 +37,7 @@ V5E_R2_PEAK = 39.6e12  # the round-2 comparison figure (per-core fp32-ish)
 
 
 def make_lowdim_model(batch_size, compute_dtype="float32",
-                      activation_dtype="float32"):
+                      activation_dtype="float32", remat=False):
     import lipvq_tpu.algo  # noqa: F401
     from lipvq_tpu.algo.base import algo_factory
     from lipvq_tpu.config import config_factory
@@ -60,6 +60,7 @@ def make_lowdim_model(batch_size, compute_dtype="float32",
                 "vq_vae_enabled": True, "ln_act_enabled": False,
                 "compute_dtype": compute_dtype,
                 "activation_dtype": activation_dtype,
+                "remat": remat,
             },
             "vq": {"num_codes": 1024},
         },
@@ -71,7 +72,7 @@ def make_lowdim_model(batch_size, compute_dtype="float32",
 
 
 def make_image_model(batch_size=16, img=128, compute_dtype="float32",
-                     activation_dtype="float32"):
+                     activation_dtype="float32", remat=False):
     import lipvq_tpu.algo  # noqa: F401
     from lipvq_tpu.algo.base import algo_factory
     from lipvq_tpu.config import config_factory
@@ -96,6 +97,7 @@ def make_image_model(batch_size=16, img=128, compute_dtype="float32",
                 "vq_vae_enabled": True, "ln_act_enabled": False,
                 "compute_dtype": compute_dtype,
                 "activation_dtype": activation_dtype,
+                "remat": remat,
             },
             "vq": {"num_codes": 1024},
         },
@@ -189,6 +191,10 @@ def main(argv=None):
                     help="backbone residual-stream dtype: bfloat16 halves "
                          "saved-activation HBM traffic (the round-3 "
                          "roofline lever)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize transformer blocks: trade spare "
+                         "MXU FLOPs (~25%% MFU) for saved-activation HBM "
+                         "traffic (the binding constraint at saturation)")
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args(argv)
@@ -202,11 +208,11 @@ def main(argv=None):
         if args.mode == "lowdim":
             model, shapes = make_lowdim_model(
                 b, compute_dtype=args.dtype,
-                activation_dtype=args.activations)
+                activation_dtype=args.activations, remat=args.remat)
         else:
             model, shapes = make_image_model(
                 b, compute_dtype=args.dtype,
-                activation_dtype=args.activations)
+                activation_dtype=args.activations, remat=args.remat)
         batch = device_batch(model, shapes, b)
         flops, nbytes = step_flops(model, batch)
         dt = measure(model, batch, iters=args.iters)
@@ -215,6 +221,7 @@ def main(argv=None):
             "mode": args.mode,
             "dtype": args.dtype,
             "activations": args.activations,
+            "remat": bool(args.remat),
             "batch": b,
             "step_ms": round(dt * 1e3, 2),
             "samples_per_s": round(b / dt, 1),
