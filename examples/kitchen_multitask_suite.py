@@ -180,6 +180,14 @@ def evaluate(args, paths, ckpt_path, episodes=None, cache_name=None):
 
     episodes = episodes or args.eval_episodes
     model, ckpt = FileUtils.policy_from_checkpoint(ckpt_path)
+    if getattr(args, "eval_device", "cpu") == "cpu":
+        # host-CPU inference: each tunnel dispatch costs ~1.15 s in
+        # per-array transfer round-trips vs ~15 ms of actual forward
+        # compute at eval batch sizes; pinning the policy to the host
+        # CPU makes the suite eval env-stepping-bound (~25x faster)
+        import jax
+
+        model.set_inference_device(jax.devices("cpu")[0])
     lang_encoder = LangEncoder()
     # incremental, restartable: completed tasks persist and are skipped
     # on relaunch (the eval runs ~1h over a dev tunnel that can drop)
@@ -269,6 +277,11 @@ def main():
                          "(BASELINE.md r3h: drawer tasks 0.45->0.0 by epoch "
                          "360), so the EARLY saves are the ones worth "
                          "screening")
+    ap.add_argument("--eval_device", choices=("cpu", "tpu"), default="cpu",
+                    help="closed-loop eval inference placement: the tiny "
+                         "forward is ~25x faster on host CPU than over "
+                         "the device tunnel (default cpu; training always "
+                         "runs on the TPU)")
     ap.add_argument("--task_set", choices=("core", "wide"), default="core",
                     help="core = the 8 round-3 families; wide adds 5 "
                          "button/knob fixture families (13 total)")

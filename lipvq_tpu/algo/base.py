@@ -200,6 +200,32 @@ class Algo:
             if isinstance(sub, Algo):
                 sub.attach_mesh(mesh)
 
+    # device inference pinning: None = default device (the TPU)
+    _infer_device = None
+
+    def set_inference_device(self, device) -> None:
+        """Pin ``get_action`` to a specific device (e.g. the host CPU).
+
+        Closed-loop eval dispatches one tiny forward per env macro-step;
+        over the device tunnel each dispatch pays per-array transfer
+        round-trips that dwarf the compute (measured 1.15 s/step vs
+        23 ms of MuJoCo stepping on the 8-task suite screen). Committing
+        the state + inputs to ``jax.devices("cpu")[0]`` keeps the jitted
+        forward in-process: jit compiles per placement, so the train
+        step on the TPU is untouched."""
+        self.state = jax.device_put(self.state, device)
+        self._infer_device = device
+        for attr in ("planner", "actor", "value_bcq", "_raw_planner"):
+            sub = getattr(self, attr, None)
+            if isinstance(sub, Algo):
+                sub.set_inference_device(device)
+
+    def _put_infer(self, tree):
+        """Inference-input placement honoring ``set_inference_device``."""
+        if self._infer_device is not None:
+            return jax.device_put(tree, self._infer_device)
+        return jax.tree.map(jnp.asarray, tree)
+
     def _put_batch(self, batch):
         """Host batch -> device. Shards on the leading axis when a mesh is
         attached; plain transfer otherwise."""

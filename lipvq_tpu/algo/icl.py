@@ -393,10 +393,10 @@ class ICLTransformerGMM(PolicyAlgo):
         self.state = self.state._replace(rng=rng)
         act = self._jit_get_action(
             self.state,
-            jax.tree.map(jnp.asarray, obs_dict),
-            jax.tree.map(jnp.asarray, context_batch["obs"]),
-            jnp.asarray(context_batch["actions"]),
-            jax.tree.map(jnp.asarray, goal_dict) if goal_dict else None,
+            self._put_infer(obs_dict),
+            self._put_infer(context_batch["obs"]),
+            self._put_infer(context_batch["actions"]),
+            self._put_infer(goal_dict) if goal_dict else None,
             key,
         )
         return np.asarray(act)

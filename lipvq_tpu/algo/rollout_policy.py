@@ -99,8 +99,9 @@ class ICLRolloutPolicy(RolloutPolicy):
         import jax
         import jax.numpy as jnp
 
+        target = getattr(self.policy, "_infer_device", None)
         key, cached_n, dev = self._ctx_cache
-        if key == id(context_batch) and cached_n == n:
+        if key == (id(context_batch), target) and cached_n == n:
             return dev
         ctx = {
             "obs": {
@@ -114,8 +115,11 @@ class ICLRolloutPolicy(RolloutPolicy):
             if np.asarray(context_batch["actions"]).shape[0] == 1 and n > 1
             else np.asarray(context_batch["actions"]),
         }
-        dev = jax.tree.map(jnp.asarray, ctx)
-        self._ctx_cache = (id(context_batch), n, dev)
+        if target is not None:
+            dev = jax.device_put(ctx, target)
+        else:
+            dev = jax.tree.map(jnp.asarray, ctx)
+        self._ctx_cache = ((id(context_batch), target), n, dev)
         return dev
 
     def __call__(self, ob, context_batch, goal=None):

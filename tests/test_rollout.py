@@ -109,6 +109,37 @@ def test_icl_rollout_with_trained_policy_api(tmp_path):
     assert np.isfinite(stats["Return"])
 
 
+def test_set_inference_device_action_parity():
+    """CPU-pinned inference (suite-eval fast path) matches default
+    placement: same key -> near-identical actions, state committed."""
+    import jax
+
+    import lipvq_tpu.algo  # noqa: F401
+    from lipvq_tpu.algo.base import algo_factory
+    from lipvq_tpu.config import config_factory
+    from lipvq_tpu.utils.test_utils import icl_test_config_overrides
+
+    cfg = config_factory("icl", icl_test_config_overrides())
+    shapes = {"robot0_eef_pos": [3], "lang_emb": [768]}
+    model = algo_factory("icl", cfg, shapes, ac_dim=12)
+    t = model.context_length
+    obs = {k: np.random.default_rng(0).normal(size=(2, t) + tuple(s))
+           .astype(np.float32) for k, s in shapes.items()}
+    ctx = {"obs": {k: np.zeros((2, t) + tuple(s), np.float32)
+                   for k, s in shapes.items()},
+           "actions": np.zeros((2, t, 12), np.float32)}
+    rng0 = model.state.rng
+    a_default = model.get_action(obs, ctx)
+    model.state = model.state._replace(rng=rng0)
+    dev = jax.devices("cpu")[0]
+    model.set_inference_device(dev)
+    assert model._infer_device is dev
+    for leaf in jax.tree.leaves(model.state.params):
+        assert leaf.devices() == {dev}
+    a_pinned = model.get_action(obs, ctx)
+    np.testing.assert_allclose(a_default, a_pinned, atol=2e-3)
+
+
 def test_rot6d_roundtrip(rng):
     from lipvq_tpu.utils.action_utils import (
         axis_angle_to_rot_6d,
