@@ -204,6 +204,10 @@ def evaluate(args, paths, ckpt_path, episodes=None, cache_name=None):
         cfg = make_config(args, {task: path})
         with cfg.unlocked():
             cfg.train.data = path
+            # eval only draws ONE context batch per task: the HBM-
+            # resident corpus cache is training machinery (and would
+            # drag the CPU-pinned eval path back onto the tunnel)
+            cfg.train.hdf5_cache_mode = "low_dim"
         train_ds, _ = TrainUtils.load_data_for_training(
             cfg, obs_keys=model.obs_shapes.keys(), lang_encoder=lang_encoder
         )
@@ -307,6 +311,14 @@ def main():
                          "TPU is unavailable)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+
+    if args.skip_train and args.eval_device == "cpu":
+        # eval-only run: pin the whole process to the host CPU platform
+        # so checkpoint screening never touches the TPU tunnel — it can
+        # run CONCURRENTLY with a training run on the chip
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     paths = collect(args)
     if args.collect_only:
