@@ -260,6 +260,14 @@ def evaluate(args, paths, ckpt_path, episodes=None, cache_name=None):
 
 
 def main():
+    # SIGUSR1 -> all-thread stack dump on stderr: lets a supervisor
+    # capture WHERE a run wedged (device tunnel hangs block in C land
+    # with frozen CPU time) before killing and resuming it
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_demos", type=int, default=40)
     ap.add_argument("--epochs", type=int, default=30)
@@ -306,13 +314,30 @@ def main():
                          "make_config)")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the newest checkpoint in --out/run")
+    ap.add_argument("--screen_only", action="store_true",
+                    help="poll --out/run for the --screen_epochs periodic "
+                         "checkpoints and screen each as it appears, then "
+                         "exit (no final eval). CPU-pinned, so it runs "
+                         "CONCURRENTLY with the training process on the "
+                         "chip; the screen caches it writes are reused by "
+                         "the main pipeline's screening phase")
     ap.add_argument("--collect_only", action="store_true",
                     help="stop after corpus collection (e.g. when the "
                          "TPU is unavailable)")
+    ap.add_argument("--train_only", action="store_true",
+                    help="stop after training (screening/eval run in a "
+                         "separate CPU-pinned process)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume training from --out/run's newest "
+                         "latest_full.state (params + optimizer + rng) at "
+                         "saved_epoch + 1 — makes the run supervisable "
+                         "under a flaky device tunnel: kill the wedged "
+                         "process, relaunch with --resume, lose at most "
+                         "save_every epochs")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    if args.skip_train and args.eval_device == "cpu":
+    if (args.skip_train or args.screen_only) and args.eval_device == "cpu":
         # eval-only run: pin the whole process to the host CPU platform
         # so checkpoint screening never touches the TPU tunnel — it can
         # run CONCURRENTLY with a training run on the chip
@@ -327,6 +352,45 @@ def main():
 
     import glob
 
+    if args.screen_only:
+        # concurrent screening: the training process owns the TPU; this
+        # process is CPU-pinned and screens checkpoints as they land.
+        # evaluate() caches per-task results to screen_<tag>.json, which
+        # the main pipeline's screening phase reads and skips — so the
+        # wall-clock of train-then-screen collapses toward max(train,
+        # screen) on a 1-vCPU host instead of their sum.
+        run_dir = os.path.join(args.out, "run")
+        want = [e.strip() for e in args.screen_epochs.split(",")
+                if e.strip()]
+        if not want or args.screen_episodes <= 0:
+            raise SystemExit("--screen_only needs --screen_epochs and "
+                             "--screen_episodes")
+        done = set()
+        while set(want) - done:
+            progressed = False
+            for e in want:
+                if e in done:
+                    continue
+                cks = glob.glob(
+                    os.path.join(run_dir, "**", f"model_epoch_{e}.ckpt"),
+                    recursive=True)
+                # mtime guard: skip files the trainer may still be writing
+                if not cks or time.time() - os.path.getmtime(cks[0]) < 5:
+                    continue
+                tag = f"model_epoch_{e}"
+                t0 = time.time()
+                tbl = evaluate(args, paths, cks[0],
+                               episodes=args.screen_episodes,
+                               cache_name=f"screen_{tag}.json")
+                print(f"[screen_only] {tag}: "
+                      f"mean={sum(tbl.values()) / len(tbl):.3f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+                done.add(e)
+                progressed = True
+            if set(want) - done and not progressed:
+                time.sleep(20)
+        return
+
     if args.skip_train:
         ckpts = sorted(
             glob.glob(os.path.join(args.out, "run", "**", "*.ckpt"),
@@ -334,14 +398,36 @@ def main():
             key=os.path.getmtime,
         )
     else:
+        import re
+
         from lipvq_tpu.scripts.train import train
 
         cfg = make_config(args, paths)
+        if args.resume:
+            states = glob.glob(
+                os.path.join(args.out, "run", "**", "latest_full.state"),
+                recursive=True)
+            if states:
+                state = max(states, key=os.path.getmtime)
+                saved = [
+                    int(m.group(1)) for c in glob.glob(
+                        os.path.join(os.path.dirname(state), "*.ckpt"))
+                    if (m := re.search(r"model_epoch_(\d+)", c))
+                ]
+                with cfg.unlocked():
+                    cfg.experiment.ckpt_path = state
+                    cfg.experiment.start_epoch = max(saved) + 1
+                print(f"[resume] {state} -> start_epoch "
+                      f"{cfg.experiment.start_epoch}", flush=True)
         t0 = time.time()
         ckpt_dir = train(cfg)
         print(f"[train] done in {time.time() - t0:.0f}s", flush=True)
-        ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "*.ckpt")),
-                       key=os.path.getmtime)
+        if args.train_only:
+            return
+        ckpts = sorted(
+            glob.glob(os.path.join(args.out, "run", "**", "*.ckpt"),
+                      recursive=True),
+            key=os.path.getmtime)
     ckpt_path = ckpts[-1]
 
     # rollout-based best-checkpoint selection (reference protocol:

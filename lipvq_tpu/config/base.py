@@ -120,6 +120,13 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         e.env_meta_update_dict.do_not_lock_keys()
 
         e.ckpt_path = None
+        # resume entry epoch: with ckpt_path = a latest_full.state payload
+        # (params + optimizer + rng), start_epoch = saved_epoch + 1 makes
+        # train() continue epoch numbering/saves where the previous
+        # process stopped — true preemption-safe resume, which the
+        # reference lacks (its dir-mode ckpt_path is follow-along eval
+        # only, SURVEY.md §5.3)
+        e.start_epoch = 1
 
     def train_config(self):
         t = self.train

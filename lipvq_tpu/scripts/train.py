@@ -182,7 +182,8 @@ def train(config, eval_only: bool = False):
     last_ckpt_time = time.time()
 
     num_epochs = 0 if eval_only else config.train.num_epochs
-    for epoch in range(1, num_epochs + 1):
+    start_epoch = int(config.experiment.get("start_epoch", 1) or 1)
+    for epoch in range(start_epoch, num_epochs + 1):
         if follow_along_dir is not None:
             candidate = os.path.join(
                 follow_along_dir, f"model_epoch_{epoch}.ckpt"

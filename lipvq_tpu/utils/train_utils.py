@@ -105,10 +105,22 @@ def load_data_for_training(config, obs_keys, lang_encoder=None):
 
 
 def run_epoch(model, data_loader, epoch: int, validate: bool = False,
-              num_steps: int | None = None, obs_normalization_stats=None):
+              num_steps: int | None = None, obs_normalization_stats=None,
+              sync_every: int = 25):
     """One epoch of fixed gradient steps (reference train_utils.py:1238-1352).
 
     Returns step_log with averaged losses + ``Time_*`` phase minutes.
+
+    ``sync_every`` bounds the number of dispatched-but-unfinished steps:
+    under the axon relay, jit dispatch AND ``block_until_ready`` return
+    at enqueue, so a full epoch of steps (300) can be enqueued with zero
+    completions — observed to deadlock the relay session (the stream
+    goes silent and every later fetch blocks forever; reproduced 3/3 at
+    epoch 1 of the kitchen suite, while 30-deep enqueue profiles run
+    fine). A one-scalar fetch every ``sync_every`` steps forces the
+    device stream to drain through that step (each step's metrics depend
+    on the whole step), keeping the relay queue bounded at the cost of
+    one round trip per ``sync_every`` steps.
     """
     it = data_loader if isinstance(data_loader, CyclingIterator) else CyclingIterator(data_loader)
     inner = data_loader.loader if isinstance(data_loader, CyclingIterator) else data_loader
@@ -139,6 +151,12 @@ def run_epoch(model, data_loader, epoch: int, validate: bool = False,
         t0 = time.time()
         info = model.train_on_batch(input_batch, epoch, validate=validate)
         raw_infos.append(info)
+        if sync_every and len(raw_infos) % sync_every == 0:
+            import jax
+
+            leaves = jax.tree.leaves(info)
+            if leaves and hasattr(leaves[0], "block_until_ready"):
+                np.asarray(leaves[0])  # value fetch = real drain barrier
         timing["Train_Batch"] += time.time() - t0
 
     t0 = time.time()
