@@ -36,21 +36,30 @@ def bench_tpu(corpus: np.ndarray, model, variables) -> float:
     x = jnp.asarray(corpus)
     float(tokenize_sum(variables, x))  # compile + warm
     k = 20
-    # >=5 reps with min/median reported so future rounds can gate
-    # regressions against documented variance (the dev tunnel adds
-    # run-to-run noise; see BASELINE.md variance note)
+    # 12 timed reps after 2 discarded warmup reps; the headline is the
+    # interquartile (trimmed) mean, which is stable under the dev
+    # tunnel's additive latency noise — BENCH_r03's best-of-5 spread hit
+    # 26.7% at driver time, making <25% regressions invisible
     times = []
-    for _rep in range(5):
+    for _rep in range(14):
         t0 = time.time()
         for _ in range(k):
             s = tokenize_sum(variables, x)
         float(s)  # fetch once; device executed all k serially
         times.append((time.time() - t0) / k)
+    times = sorted(times[2:])  # discard warmup reps, sort for quartiles
     n = corpus.shape[0]
+    q = len(times) // 4
+    iq = times[q:len(times) - q]  # interquartile band (middle 50%)
+    trimmed = statistics.mean(iq)
+    iqr_pct = 100.0 * (iq[-1] - iq[0]) / statistics.median(times)
     return {
+        "trimmed_mean": n / trimmed,
         "best": n / min(times),
         "median": n / statistics.median(times),
         "worst": n / max(times),
+        "iqr_pct": iqr_pct,
+        "reps": len(times),
     }
 
 
@@ -116,7 +125,7 @@ def main():
     print("init done", file=sys.stderr)
 
     stats = bench_tpu(corpus, model, jax.device_put(v))
-    per_chip = stats["best"] / n_chips
+    per_chip = stats["trimmed_mean"] / n_chips
     print("tpu bench done", file=sys.stderr)
 
     p = jax.tree.map(np.asarray, v["params"])
@@ -136,15 +145,17 @@ def main():
         json.dumps(
             {
                 "metric": "lipvq_tokenize_chunks_per_sec_per_chip",
+                # headline = interquartile mean over 12 reps (robust to
+                # tunnel latency spikes; best/worst document the tails)
                 "value": round(per_chip, 1),
                 "unit": "chunks/s",
                 "vs_baseline": round(per_chip / torch_chunks_per_sec, 2),
+                "best": round(stats["best"] / n_chips, 1),
                 "median": round(stats["median"] / n_chips, 1),
                 "worst": round(stats["worst"] / n_chips, 1),
-                "spread_pct": round(
-                    100 * (stats["best"] - stats["worst"]) / stats["best"], 1
-                ),
-                "reps": 5,
+                "spread_pct": round(stats["iqr_pct"], 1),
+                "noisy": bool(stats["iqr_pct"] >= 10.0),
+                "reps": stats["reps"],
             }
         )
     )

@@ -314,6 +314,9 @@ def main():
                          "make_config)")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the newest checkpoint in --out/run")
+    ap.add_argument("--screen_timeout", type=int, default=7200,
+                    help="--screen_only gives up after this many seconds "
+                         "without a new checkpoint appearing")
     ap.add_argument("--screen_only", action="store_true",
                     help="poll --out/run for the --screen_epochs periodic "
                          "checkpoints and screen each as it appears, then "
@@ -366,7 +369,16 @@ def main():
             raise SystemExit("--screen_only needs --screen_epochs and "
                              "--screen_episodes")
         done = set()
+        last_progress = time.time()
         while set(want) - done:
+            # liveness bound: if the trainer dies or was reconfigured
+            # before producing a requested epoch, exit instead of
+            # polling forever (default 2h without a new checkpoint)
+            if time.time() - last_progress > args.screen_timeout:
+                missing = sorted(set(want) - done)
+                print(f"[screen_only] timeout ({args.screen_timeout}s) "
+                      f"waiting for epochs {missing}; exiting", flush=True)
+                return
             progressed = False
             for e in want:
                 if e in done:
@@ -374,12 +386,17 @@ def main():
                 cks = glob.glob(
                     os.path.join(run_dir, "**", f"model_epoch_{e}.ckpt"),
                     recursive=True)
-                # mtime guard: skip files the trainer may still be writing
-                if not cks or time.time() - os.path.getmtime(cks[0]) < 5:
+                if not cks:
+                    continue
+                # resumes can leave the same epoch in multiple
+                # timestamped run dirs: screen the newest, and apply the
+                # still-writing mtime guard to THAT file
+                ck = max(cks, key=os.path.getmtime)
+                if time.time() - os.path.getmtime(ck) < 5:
                     continue
                 tag = f"model_epoch_{e}"
                 t0 = time.time()
-                tbl = evaluate(args, paths, cks[0],
+                tbl = evaluate(args, paths, ck,
                                episodes=args.screen_episodes,
                                cache_name=f"screen_{tag}.json")
                 print(f"[screen_only] {tag}: "
@@ -387,7 +404,9 @@ def main():
                       f"({time.time() - t0:.0f}s)", flush=True)
                 done.add(e)
                 progressed = True
-            if set(want) - done and not progressed:
+            if progressed:
+                last_progress = time.time()
+            elif set(want) - done:
                 time.sleep(20)
         return
 
@@ -409,14 +428,25 @@ def main():
                 recursive=True)
             if states:
                 state = max(states, key=os.path.getmtime)
-                saved = [
-                    int(m.group(1)) for c in glob.glob(
-                        os.path.join(os.path.dirname(state), "*.ckpt"))
-                    if (m := re.search(r"model_epoch_(\d+)", c))
-                ]
+                # the state's own epoch sidecar (written atomically WITH
+                # the state) is authoritative; ckpt filenames can be
+                # ahead of the restored weights if a kill landed between
+                # the two writes — inferring from them silently skips
+                # epochs with stale weights
+                start_epoch = None
+                try:
+                    with open(state + ".epoch") as f:
+                        start_epoch = int(f.read().strip()) + 1
+                except (OSError, ValueError):
+                    saved = [
+                        int(m.group(1)) for c in glob.glob(
+                            os.path.join(os.path.dirname(state), "*.ckpt"))
+                        if (m := re.search(r"model_epoch_(\d+)", c))
+                    ]
+                    start_epoch = (max(saved) + 1) if saved else 1
                 with cfg.unlocked():
                     cfg.experiment.ckpt_path = state
-                    cfg.experiment.start_epoch = max(saved) + 1
+                    cfg.experiment.start_epoch = start_epoch
                 print(f"[resume] {state} -> start_epoch "
                       f"{cfg.experiment.start_epoch}", flush=True)
         t0 = time.time()

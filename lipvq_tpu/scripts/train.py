@@ -88,8 +88,25 @@ def train(config, eval_only: bool = False):
         elif ckpt_path.endswith(".state") and os.path.isfile(ckpt_path):
             # full restartable state (params + optimizer + rng)
             print(f"Resuming full train state from {ckpt_path}")
-            with open(ckpt_path, "rb") as f:
-                model.deserialize_full(f.read())
+            try:
+                with open(ckpt_path, "rb") as f:
+                    model.deserialize_full(f.read())
+            except Exception as e:
+                # a truncated/corrupt state (e.g. pre-atomic-write kill)
+                # must not crash-loop the supervisor: fall back to the
+                # newest weights-only ckpt next to it (optimizer restarts
+                # fresh, which loses moments but keeps the run alive)
+                import glob as _glob
+                sib = sorted(
+                    _glob.glob(os.path.join(os.path.dirname(ckpt_path),
+                                            "*.ckpt")),
+                    key=os.path.getmtime)
+                if not sib:
+                    raise
+                print(f"WARNING: resume state unreadable ({e!r}); "
+                      f"falling back to weights-only {sib[-1]}")
+                ckpt = FileUtils.load_checkpoint_dict(sib[-1])
+                model.deserialize(ckpt["model"])
         elif os.path.isfile(ckpt_path):
             print(f"Loading model weights from {ckpt_path}")
             ckpt = FileUtils.load_checkpoint_dict(ckpt_path)
@@ -339,9 +356,22 @@ def train(config, eval_only: bool = False):
                 lang_backend=(lang_encoder.backend if lang_encoder else None),
             )
             # restartable full state (params + optimizer + rng) — TPU-native
-            # improvement over the reference's params-only checkpoints
-            with open(os.path.join(ckpt_dir, "latest_full.state"), "wb") as f:
-                f.write(model.serialize_full())
+            # improvement over the reference's params-only checkpoints.
+            # Serialize (a device fetch that can wedge over the tunnel)
+            # BEFORE touching the old file, then os.replace atomically:
+            # a kill mid-save must never truncate the only resume state.
+            payload = model.serialize_full()
+            state_path = os.path.join(ckpt_dir, "latest_full.state")
+            tmp_path = state_path + ".tmp"
+            with open(tmp_path, "wb") as f:
+                f.write(payload)
+            os.replace(tmp_path, state_path)
+            # sidecar records the epoch INSIDE the resume state (ckpt
+            # filenames can be ahead of it if a kill lands between the
+            # two writes); written atomically after the state itself
+            with open(state_path + ".epoch.tmp", "w") as f:
+                f.write(str(epoch))
+            os.replace(state_path + ".epoch.tmp", state_path + ".epoch")
             print(f"save checkpoint to {path}")
             last_ckpt_time = time.time()
 

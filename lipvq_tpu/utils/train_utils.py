@@ -154,9 +154,14 @@ def run_epoch(model, data_loader, epoch: int, validate: bool = False,
         if sync_every and len(raw_infos) % sync_every == 0:
             import jax
 
-            leaves = jax.tree.leaves(info)
-            if leaves and hasattr(leaves[0], "block_until_ready"):
-                np.asarray(leaves[0])  # value fetch = real drain barrier
+            # drain on the first DEVICE leaf: leaves[0] can be a host
+            # scalar while later leaves are device arrays, in which case
+            # testing only leaves[0] would skip the barrier entirely
+            dev_leaf = next(
+                (x for x in jax.tree.leaves(info)
+                 if hasattr(x, "block_until_ready")), None)
+            if dev_leaf is not None:
+                np.asarray(dev_leaf)  # value fetch = real drain barrier
         timing["Train_Batch"] += time.time() - t0
 
     t0 = time.time()
