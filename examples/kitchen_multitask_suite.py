@@ -54,6 +54,32 @@ WIDE_TASKS = TASKS + [
     ("TurnOffStove", 13, 0, 0),
 ]
 
+# --task_set full: +4 PnP families, mug PnP onto the coffee machine, and
+# ONE registry multi-stage activity (PrepareCoffee, expert 0.70) — 19
+# families spanning navigation, articulation, buttons/knobs, object
+# manipulation, and a long-horizon composite; the obj_state observation
+# (sim/kitchen.py) identifies the payload/container the way the
+# reference's per-task ``object`` sensor does (kitchen.py:1232-1302).
+FULL_TASKS = WIDE_TASKS + [
+    ("PnPCounterToCab", 14, 0, 0),
+    ("PnPCabToCounter", 15, 0, 0),
+    ("PnPMicrowaveToCounter", 16, 0, 0),
+    ("PnPSinkToCounter", 17, 0, 0),
+    ("CoffeeServeMug", 18, 0, 0),
+    ("PrepareCoffee", 19, 0, 0),
+]
+
+TASK_SETS = {"core": TASKS, "wide": WIDE_TASKS, "full": FULL_TASKS}
+
+# eval/collection horizons follow the reference's per-task registry
+# (robocasa/utils/dataset_registry.py; lipvq_tpu.robocasa.dataset_registry)
+from lipvq_tpu.robocasa.dataset_registry import ALL_TASK_DATASETS
+
+
+def task_horizon(task, default=500):
+    return int(ALL_TASK_DATASETS.get(task, {}).get("horizon", default))
+
+
 OBS_KEYS = [
     "robot0_base_pos", "robot0_base_quat", "robot0_eef_pos",
     "robot0_eef_quat", "robot0_gripper_qpos", "robot0_base_to_eef_pos",
@@ -63,6 +89,10 @@ OBS_KEYS = [
     # families (door handle hook, faucet lever) are state-blind and
     # pinned at 0.0 closed-loop (BASELINE.md round-3 postmortem).
     "fixture_state",
+    # fixed-dim payload/container state (primary object + container pos/
+    # quat/to-eef): what PnP + coffee families manipulate — the
+    # MetaDataset-batchable analogue of the reference's ``object`` key
+    "obj_state",
     "lang_emb",
 ]
 
@@ -71,16 +101,18 @@ def collect(args):
     from lipvq_tpu.scripts.collect_kitchen_suite import collect_task
 
     paths = {}
-    tasks = WIDE_TASKS if getattr(args, "task_set", "core") == "wide" \
-        else TASKS
+    tasks = TASK_SETS[getattr(args, "task_set", "core")]
+    corpus_dir = getattr(args, "corpus_dir", "") or args.out
+    os.makedirs(corpus_dir, exist_ok=True)
     for task, seed, layout, style in tasks:
-        path = os.path.join(args.out, f"{task}.hdf5")
+        path = os.path.join(corpus_dir, f"{task}.hdf5")
         if os.path.exists(path) and not args.recollect:
             paths[task] = path
             continue
         t0 = time.time()
         stats = collect_task(
-            task, path, n_demos=args.n_demos, max_steps=900, seed=seed,
+            task, path, n_demos=args.n_demos,
+            max_steps=max(900, task_horizon(task)), seed=seed,
             layout_ids=layout, style_ids=style,
             action_noise=args.action_noise,
         )
@@ -118,7 +150,7 @@ def make_config(args, paths):
         # the optimum finite and the gradients sane.
         "action_config": {"actions": {"normalization": "min_max"}},
         "num_epochs": args.epochs,
-        "batch_size": 64,
+        "batch_size": int(getattr(args, "batch_size", 64)),
         # task-aligned context/query pairing is OFF: measured across
         # three 50-epoch suite runs, plain shuffling reached LL 55.6 and
         # 0.275 mean closed-loop success; single-task batches (v3) and
@@ -153,6 +185,16 @@ def make_config(args, paths):
     d["algo"]["transformer"].update(
         {"embed_dim": 256, "num_layers": 4, "num_heads": 8}
     )
+    # the paper's ablation axis (reference icl_config.py:154-157 +
+    # raw-MLP default obs_nets.py:1244-1260): exactly one of the four
+    # switches, or none for raw
+    tok = getattr(args, "tokenizer", "vq")
+    d["algo"]["transformer"].update({
+        "vq_vae_enabled": tok == "vq",
+        "bin_enabled": tok == "bin",
+        "fast_enabled": tok == "fast",
+        "ln_act_enabled": tok == "ln_act",
+    })
     # min_std floor: scripted-expert labels sit exactly on bin edges
     # (0 / +-1 per dim), so the GMM's sigma collapses toward the resi-
     # dual floor and (y-mu)/sigma^2 explodes - grad norms hit 16k and
@@ -243,8 +285,9 @@ def evaluate(args, paths, ckpt_path, episodes=None, cache_name=None):
             obs_keys=[k for k in model.obs_shapes if k != "lang_emb"],
         )
         t0 = time.time()
+        horizon = args.horizon if args.horizon else task_horizon(task)
         logs = batched_icl_rollout(
-            policy, vec, context_batch, horizon=args.horizon,
+            policy, vec, context_batch, horizon=horizon,
             terminate_on_success=True,
         )
         rate = float(logs["Success_Rate"])
@@ -294,11 +337,28 @@ def main():
                          "forward is ~25x faster on host CPU than over "
                          "the device tunnel (default cpu; training always "
                          "runs on the TPU)")
-    ap.add_argument("--task_set", choices=("core", "wide"), default="core",
+    ap.add_argument("--task_set", choices=("core", "wide", "full"),
+                    default="core",
                     help="core = the 8 round-3 families; wide adds 5 "
-                         "button/knob fixture families (13 total)")
-    ap.add_argument("--horizon", type=int, default=500)
+                         "button/knob fixture families (13); full adds 4 "
+                         "PnP + CoffeeServeMug + the PrepareCoffee "
+                         "multi-stage activity (19)")
+    ap.add_argument("--tokenizer",
+                    choices=("vq", "bin", "fast", "ln_act", "raw"),
+                    default="vq",
+                    help="action tokenizer for the ICL context stream — "
+                         "the paper's ablation axis (reference "
+                         "icl_config.py:154-157)")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--horizon", type=int, default=0,
+                    help="override eval horizon for ALL tasks (0 = the "
+                         "per-task registry horizon, dataset_registry.py)")
     ap.add_argument("--out", type=str, default="/tmp/kitchen_suite")
+    ap.add_argument("--corpus_dir", type=str, default="",
+                    help="read/collect corpora here instead of --out — "
+                         "lets ablation runs (e.g. the 5-tokenizer sweep) "
+                         "share one corpus set while keeping separate "
+                         "run/eval dirs")
     ap.add_argument("--action_noise", type=float, default=0.0,
                     help="DART-style expert action noise during collection "
                          "(closed-loop manipulation needs ~0.05: noise-free "

