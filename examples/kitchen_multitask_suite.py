@@ -102,6 +102,11 @@ def collect(args):
 
     paths = {}
     tasks = TASK_SETS[getattr(args, "task_set", "core")]
+    only = [t.strip() for t in getattr(args, "tasks", "").split(",")
+            if t.strip()]
+    if only:
+        by_name = {t[0]: t for t in FULL_TASKS}
+        tasks = [by_name[n] for n in only]
     corpus_dir = getattr(args, "corpus_dir", "") or args.out
     os.makedirs(corpus_dir, exist_ok=True)
     for task, seed, layout, style in tasks:
@@ -343,6 +348,9 @@ def main():
                          "button/knob fixture families (13); full adds 4 "
                          "PnP + CoffeeServeMug + the PrepareCoffee "
                          "multi-stage activity (19)")
+    ap.add_argument("--tasks", type=str, default="",
+                    help="comma-separated task names overriding "
+                         "--task_set (e.g. a single-family probe)")
     ap.add_argument("--tokenizer",
                     choices=("vq", "bin", "fast", "ln_act", "raw"),
                     default="vq",

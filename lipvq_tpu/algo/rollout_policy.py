@@ -103,18 +103,19 @@ class ICLRolloutPolicy(RolloutPolicy):
         key, cached_n, dev = self._ctx_cache
         if key == (id(context_batch), target) and cached_n == n:
             return dev
+        def tile(v):
+            v = np.asarray(v)
+            return np.repeat(v, n, axis=0) if v.shape[0] == 1 and n > 1 \
+                else v
+
         ctx = {
-            "obs": {
-                k: np.repeat(np.asarray(v), n, axis=0)
-                if np.asarray(v).shape[0] == 1 and n > 1 else np.asarray(v)
-                for k, v in context_batch["obs"].items()
-            },
-            "actions": np.repeat(
-                np.asarray(context_batch["actions"]), n, axis=0
-            )
-            if np.asarray(context_batch["actions"]).shape[0] == 1 and n > 1
-            else np.asarray(context_batch["actions"]),
+            "obs": {k: tile(v) for k, v in context_batch["obs"].items()},
+            "actions": tile(context_batch["actions"]),
         }
+        # FAST contexts carry precomputed token features — keep them, or
+        # get_action would re-run the host BPE pipeline on every env step
+        if context_batch.get("ctx_act_feat") is not None:
+            ctx["ctx_act_feat"] = tile(context_batch["ctx_act_feat"])
         if target is not None:
             dev = jax.device_put(ctx, target)
         else:
