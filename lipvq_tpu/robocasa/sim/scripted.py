@@ -1602,6 +1602,19 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
         mw = env.microwave
         front = np.array([math.sin(mw.yaw), -math.cos(mw.yaw), 0.0])
 
+        # pre-insertion payload alignment: the slide-in tolerates ~2cm
+        # of lateral grip offset (BASELINE.md round-3 expert matrix) and
+        # the generic carry aims the EEF, not the payload, at the cavity
+        # center. At the mouth, a settle pause waits for the payload to
+        # stop swinging, captures the eef->obj offset, and both stage
+        # and dest shift by it so the FOOD rides the cavity centerline.
+        align = {"off": None, "last": None, "settle": 0}
+
+        def _comp(p):
+            if align["off"] is None:
+                return p
+            return p - np.array([align["off"][0], align["off"][1], 0.0])
+
         def dest(e):
             # eef height = cavity floor + 0.10: with bottom-origin
             # object geoms the grip rides AT the food's origin, so the
@@ -1609,14 +1622,35 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
             # top pressed the cavity ceiling and the slide-in jammed at
             # the opening (carry budget exhausted at the front lip)
             c, half = mw.interior_box()
-            return mw.to_world(
+            return _comp(mw.to_world(
                 np.array([c[0], c[1], c[2] - half[2] + 0.10])
-            )
+            ))
 
         def dest_stage(e):
             # level with the cavity floor, outside the opening: slide
             # in horizontally (a diagonal entry clips the front frame)
             return dest(e) + front * 0.42
+
+        def _align_act(e):
+            return arm_action(e, dest_stage(e), grip=1.0, gain=0.2)
+
+        def _align_done(e):
+            o = e.object_pos("obj")[:2]
+            if align["last"] is not None and \
+                    float(np.linalg.norm(o - align["last"])) < 0.002:
+                align["settle"] += 1
+            else:
+                align["settle"] = 0
+            align["last"] = o.copy()
+            if align["settle"] >= 5:
+                off = o - e.eef_pos()[:2]
+                n = float(np.linalg.norm(off))
+                if n > 0.12:  # dropped payload: don't teleport the target
+                    off = off * (0.12 / n)
+                align["off"] = off  # re-captured on grasp retries
+                align["settle"] = 0
+                return True
+            return False
 
         # order matters: the door starts closed (microwave_thawing.py
         # _reset_internal) -> open it, place the food, shut it, press
@@ -1658,9 +1692,16 @@ class MicrowaveThawingPolicy(ScriptedPolicy):
         ]
         # the door phases leave the base at the microwave vantage; the
         # food spawns on a neighboring counter, often out of arm reach
-        phases += pick_place_phases("obj", dest, carry_gain=0.25,
-                                    stage_fn=dest_stage,
-                                    reach_phase=True, verify_grasp=True)
+        pp = pick_place_phases("obj", dest, carry_gain=0.25,
+                               stage_fn=dest_stage,
+                               reach_phase=True, verify_grasp=True)
+        # insert the alignment pause right after the mouth staging point
+        for i, ph in enumerate(pp):
+            if ph.name.startswith("dest_stage:"):
+                pp.insert(i + 1, Phase(_align_act, _align_done,
+                                       budget=60, name="align_pause:obj"))
+                break
+        phases += pp
         closer = CloseDoorPolicy.__new__(CloseDoorPolicy)
         closer.behavior = "close"
         phases += closer._door_phases(
@@ -1784,7 +1825,7 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
         phases = []
         for name, dx, dy in (("vegetable1", 0.03, 0.0),
                              ("vegetable2", 0.10, 0.0)):
-            phases += pick_place_phases(name, board_dest(dx, dy),
+            pp = pick_place_phases(name, board_dest(dx, dy),
                                         carry_gain=0.25,
                                         reach_phase=True, verify_grasp=True,
                                         place_verify_fn=on_board(name),
@@ -1817,6 +1858,20 @@ class ArrangeVegetablesPolicy(ScriptedPolicy):
                                         # 10-25cm off the board with
                                         # retries exhausted
                                         place_retries=4)
+            # post-release cage: the remaining loss mode is the topple-
+            # roll AT release (direction seed-dependent, 10-25cm; a
+            # friction increase measured no better — BASELINE.md). Hold
+            # the OPEN fingers at board level for ~15 steps after
+            # release so the straddling finger pair blocks the roll
+            # while the vegetable settles, then withdraw.
+            for i, ph in enumerate(pp):
+                if ph.name.startswith("release:"):
+                    pp.insert(i + 1, Phase(
+                        lambda e: arm_action(e, e.eef_pos(), grip=-1.0),
+                        lambda e: False, budget=15,
+                        name=f"cage:{name}"))
+                    break
+            phases += pp
         return phases
 
 
