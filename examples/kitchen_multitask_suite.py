@@ -120,6 +120,7 @@ def collect(args):
             max_steps=max(900, task_horizon(task)), seed=seed,
             layout_ids=layout, style_ids=style,
             action_noise=args.action_noise,
+            dwell_prob=getattr(args, 'dwell_prob', 0.0),
         )
         print(f"[collect] {task}: {stats['demos']}/{args.n_demos} demos "
               f"({stats['attempts']} attempts, {time.time() - t0:.0f}s)",
@@ -371,6 +372,8 @@ def main():
                     help="DART-style expert action noise during collection "
                          "(closed-loop manipulation needs ~0.05: noise-free "
                          "corpora leave the policy no recovery data)")
+    ap.add_argument("--dwell_prob", type=float, default=0.0,
+                    help="random hold-in-place injection during collection\n(clean progress labels at frozen states): decorrelates trajectory\ntime from state so the policy learns state-conditioned phase\nprogression (the OpenSingleDoor study)")
     ap.add_argument("--recollect", action="store_true")
     ap.add_argument("--balance_tasks", action="store_true",
                     help="equal per-TASK sampling probability in the "

@@ -33,12 +33,26 @@ def scripted_policy(obs: dict, rng) -> np.ndarray:
 
 
 def collect_demo(env, policy_fn, max_steps: int, rng, policy_factory=None,
-                 action_noise: float = 0.0):
+                 action_noise: float = 0.0, dwell_prob: float = 0.0,
+                 dwell_max: int = 8):
     """``action_noise`` > 0 enables DART-style noise injection: the
     recorded label is the expert's clean action while the EXECUTED
     action is perturbed, so the corpus covers the off-path states a BC
     policy will drift into (deterministic scripted experts otherwise
-    produce zero recovery coverage)."""
+    produce zero recovery coverage).
+
+    ``dwell_prob`` > 0 additionally injects random DWELLS: the robot
+    HOLDS position for 3..dwell_max steps while the recorded label stays
+    the expert's clean progress action. Scripted experts progress quasi-
+    deterministically in time, so a BC policy can learn TIME-based phase
+    progression and replay later-phase motions without their
+    preconditions holding (the OpenSingleDoor 0.0 failure: the swing
+    replays without the handle hooked — BASELINE.md round-3/4 probes).
+    Dwells decorrelate trajectory time from state: the corpus contains
+    (unprogressed state -> progress action) pairs at many timestamps,
+    forcing state-conditioned progression. The expert's phase machine is
+    NOT advanced during a dwell (its per-phase budgets would burn while
+    nothing moves)."""
     obs = env.reset()
     # per-episode experts (kitchen scripted policies) rebuild their
     # waypoint phases from the fresh episode's fixtures
@@ -50,13 +64,33 @@ def collect_demo(env, policy_fn, max_steps: int, rng, policy_factory=None,
 
     traj = {"obs": [], "actions": [], "rewards": [], "dones": [],
             "states": [], "lang": getattr(env, "ep_lang_str", None)}
+    dwell_left = 0
+    dwell_label = None
     for t in range(max_steps):
-        a = np.asarray(policy_fn(obs, rng), dtype=float)
+        if dwell_left > 0:
+            # the env is quasi-static under a hold, so the clean action
+            # captured at dwell entry remains a correct label
+            a = dwell_label
+            dwell_left -= 1
+            in_dwell = True
+        else:
+            a = np.asarray(policy_fn(obs, rng), dtype=float)
+            in_dwell = dwell_prob > 0.0 and rng.random() < dwell_prob
+            if in_dwell:
+                dwell_left = int(rng.integers(3, dwell_max + 1)) - 1
+                dwell_label = a
         state = env.get_state()
         traj["obs"].append(obs)
         traj["states"].append(state)
         exec_a = a
-        if action_noise > 0.0:
+        if in_dwell:
+            # hold: zero deltas, discrete channels (grip, base-mode
+            # flag) kept crisp so modes don't flip mid-dwell
+            exec_a = np.zeros_like(a)
+            exec_a[6] = a[6]
+            if a.shape[0] > 11:
+                exec_a[11] = a[11]
+        elif action_noise > 0.0:
             exec_a = np.clip(
                 a + rng.normal(0.0, action_noise, size=a.shape), -1.0, 1.0
             )

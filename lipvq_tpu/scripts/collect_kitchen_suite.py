@@ -62,7 +62,8 @@ def _write_coverage(output_path: str, task: str, coverage: list):
 def collect_task(task: str, output_path: str, n_demos: int, max_steps: int,
                  seed: int, with_action_dict: bool = True,
                  attempts_per_demo: int = 6, layout_ids=None,
-                 style_ids=None, action_noise: float = 0.0) -> dict:
+                 style_ids=None, action_noise: float = 0.0,
+                 dwell_prob: float = 0.0) -> dict:
     from lipvq_tpu.robocasa.env_utils import create_env
     from lipvq_tpu.robocasa.sim.scripted import make_scripted_policy
     from lipvq_tpu.scripts.collect_demos import collect_demo, write_demos
@@ -81,7 +82,7 @@ def collect_task(task: str, output_path: str, n_demos: int, max_steps: int,
         traj, success = collect_demo(
             env, None, max_steps, rng,
             policy_factory=lambda e: make_scripted_policy(task, e),
-            action_noise=action_noise,
+            action_noise=action_noise, dwell_prob=dwell_prob,
         )
         meta = env.get_ep_meta()
         first_obs = traj["obs"][0] if traj.get("obs") else {}
