@@ -385,6 +385,9 @@ def main():
                          "make_config)")
     ap.add_argument("--skip_train", action="store_true",
                     help="evaluate the newest checkpoint in --out/run")
+    ap.add_argument("--eval_ckpt", type=str, default="",
+                    help="evaluate exactly this checkpoint path (implies "
+                         "no training and no screening)")
     ap.add_argument("--screen_timeout", type=int, default=7200,
                     help="--screen_only gives up after this many seconds "
                          "without a new checkpoint appearing")
@@ -411,7 +414,8 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    if (args.skip_train or args.screen_only) and args.eval_device == "cpu":
+    if (args.skip_train or args.screen_only or args.eval_ckpt) \
+            and args.eval_device == "cpu":
         # eval-only run: pin the whole process to the host CPU platform
         # so checkpoint screening never touches the TPU tunnel — it can
         # run CONCURRENTLY with a training run on the chip
@@ -481,7 +485,11 @@ def main():
                 time.sleep(20)
         return
 
-    if args.skip_train:
+    if getattr(args, "eval_ckpt", ""):
+        # evaluate exactly this checkpoint (e.g. the winner of a
+        # subset-proxy screen), no screening pass
+        ckpts = [args.eval_ckpt]
+    elif args.skip_train:
         ckpts = sorted(
             glob.glob(os.path.join(args.out, "run", "**", "*.ckpt"),
                       recursive=True),

@@ -93,6 +93,14 @@ def collect_task(task: str, output_path: str, n_demos: int, max_steps: int,
         objst = first_obs.get("obj_state")
         if objst is not None and np.any(objst[:3]):
             rec["obj_xyz"] = [round(float(v), 4) for v in objst[:3]]
+        # full initial object map from the FIRST observation (post-
+        # episode env state would be useless; AV's movable produce is
+        # also NOT obj_state slot 0 — that's the sorted-first board)
+        rec["objects"] = {
+            k[:-4]: [round(float(v), 4) for v in np.asarray(val)[:3]]
+            for k, val in first_obs.items()
+            if k.endswith("_pos") and not k.startswith("robot")
+        }
         coverage.append(rec)
         if not success:
             continue
