@@ -218,3 +218,36 @@ def test_diffusion_trains_via_train_loop(tmp_path):
 
     assert _glob.glob(os.path.join(ckpt_dir, "*.ckpt"))
     assert os.path.exists(os.path.join(ckpt_dir, "latest_full.state"))
+
+
+def test_collect_dwell_and_coverage(tmp_path):
+    """Dwell injection + coverage sidecar (round 4): collect_task with
+    dwell_prob holds position on random spans while recording clean
+    progress labels, and writes <corpus>.coverage.json with per-attempt
+    init records + summary."""
+    import json
+
+    from lipvq_tpu.scripts.collect_kitchen_suite import collect_task
+
+    path = str(tmp_path / "TurnOnSinkFaucet.hdf5")
+    stats = collect_task(
+        "TurnOnSinkFaucet", path, n_demos=2, max_steps=400, seed=3,
+        layout_ids=0, style_ids=0, action_noise=0.05, dwell_prob=0.3,
+        with_action_dict=False,
+    )
+    assert stats["demos"] == 2
+    cov = json.load(open(str(tmp_path / "TurnOnSinkFaucet.coverage.json")))
+    assert cov["summary"]["attempts"] >= 2
+    assert cov["summary"]["successes"] == 2
+    assert "per_lang" in cov["summary"]
+    rec = cov["attempts"][0]
+    assert {"success", "layout", "style", "lang"} <= set(rec)
+    assert isinstance(rec.get("objects"), dict)
+    # dwell spans repeat the held label verbatim in consecutive steps
+    import h5py
+    import numpy as np
+
+    with h5py.File(path) as f:
+        acts = np.asarray(f["data/demo_0/actions"])
+    rep = (np.abs(np.diff(acts, axis=0)).sum(axis=1) == 0).sum()
+    assert rep >= 1, "expected repeated labels from dwell spans"
