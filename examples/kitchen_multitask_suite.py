@@ -553,15 +553,24 @@ def main():
                          if os.path.splitext(os.path.basename(c))[0] in want]
         else:
             to_screen = ckpts[-args.screen_last:]
-        screen = {}
+        tables = {}
         for ck in to_screen:
             tag = os.path.splitext(os.path.basename(ck))[0]
             t0 = time.time()
             tbl = evaluate(args, paths, ck, episodes=args.screen_episodes,
                            cache_name=f"screen_{tag}.json")
-            screen[ck] = sum(tbl.values()) / len(tbl)
-            print(f"[screen] {tag}: mean={screen[ck]:.3f} "
+            tables[ck] = tbl
+            print(f"[screen] {tag}: mean={sum(tbl.values()) / len(tbl):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        # compare means over the COMMON task set: a screen cache written
+        # by an interrupted or narrower run has fewer tasks, and a mean
+        # over a lucky subset would win spuriously (observed: a 1-task
+        # partial screen outscored six full 8-task screens)
+        common = set.intersection(*(set(t) for t in tables.values()))
+        if not common:
+            raise RuntimeError("screen caches share no common tasks")
+        screen = {ck: sum(t[k] for k in common) / len(common)
+                  for ck, t in tables.items()}
         ckpt_path = max(screen, key=screen.get)
         print(f"[screen] best: {os.path.basename(ckpt_path)} "
               f"(mean {screen[ckpt_path]:.3f})", flush=True)
