@@ -188,9 +188,11 @@ def make_config(args, paths):
         },
         "validate": False,
     })
-    d["algo"]["transformer"].update(
-        {"embed_dim": 256, "num_layers": 4, "num_heads": 8}
-    )
+    d["algo"]["transformer"].update({
+        "embed_dim": int(getattr(args, "embed_dim", 256)),
+        "num_layers": int(getattr(args, "num_layers", 4)),
+        "num_heads": 8,
+    })
     # the paper's ablation axis (reference icl_config.py:154-157 +
     # raw-MLP default obs_nets.py:1244-1260): exactly one of the four
     # switches, or none for raw
@@ -359,6 +361,12 @@ def main():
                          "the paper's ablation axis (reference "
                          "icl_config.py:154-157)")
     ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--embed_dim", type=int, default=256)
+    ap.add_argument("--num_layers", type=int, default=4,
+                    help="policy transformer size (round-4 finding: "
+                         "multi-task capacity dilutes per-task success; "
+                         "19-family at 4L/256d scored 0.16 on families "
+                         "where 8-family models score 0.25-0.44)")
     ap.add_argument("--horizon", type=int, default=0,
                     help="override eval horizon for ALL tasks (0 = the "
                          "per-task registry horizon, dataset_registry.py)")
