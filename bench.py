@@ -63,6 +63,62 @@ def bench_tpu(corpus: np.ndarray, model, variables) -> float:
     }
 
 
+def bench_device_time(corpus: np.ndarray, model, variables) -> dict:
+    """Device-only throughput, immune to tunnel/dispatch drift.
+
+    The wall metric above drifted 2.6x across one day from remote-tunnel
+    state (BASELINE.md r4) — every one of its k dispatches rides the
+    tunnel. Here k tokenize iterations run inside ONE jitted fori_loop
+    (one dispatch, one scalar fetch), timed at two trip counts k1 < k2;
+    the slope (t2 - t1) / (k2 - k1) cancels the identical per-call
+    tunnel round-trip and measures pure device time per iteration. The
+    loop body feeds the previous iteration's scalar back into the input
+    (x + s * 1e-30) so XLA cannot hoist the loop-invariant computation.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from lipvq_tpu.models.tokenizers.lipvq import LipVQVAE
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def tokenize_k(v, x, k):
+        def body(_, s):
+            ids = model.apply(v, x + s * 1e-30, method=LipVQVAE.tokenize)
+            return jnp.sum(ids).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    x = jnp.asarray(corpus)
+    k1, k2 = 4, 24
+    for k in (k1, k2):  # compile both trip counts
+        float(tokenize_k(variables, x, k))
+    # interleave (k1, k2) pairs so slow tunnel drift hits both legs of
+    # each slope estimate equally; 8 slope samples -> trimmed stats
+    slopes = []
+    for _rep in range(8):
+        t0 = time.time()
+        float(tokenize_k(variables, x, k1))
+        t1 = time.time()
+        float(tokenize_k(variables, x, k2))
+        t2 = time.time()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    slopes = sorted(slopes)
+    q = len(slopes) // 4
+    iq = slopes[q:len(slopes) - q]
+    trimmed = statistics.mean(iq)
+    n = corpus.shape[0]
+    return {
+        "device_trimmed_mean": n / trimmed,
+        "device_best": n / min(slopes),
+        "device_worst": n / max(slopes),
+        "device_iqr_pct": 100.0 * (iq[-1] - iq[0])
+        / statistics.median(slopes),
+        "device_reps": len(slopes),
+    }
+
+
 def bench_torch_cpu(corpus: np.ndarray, latent_dim: int, num_codes: int,
                     params) -> float:
     """Reference-equivalent eager torch pipeline (backbone_lfqvae_v5.py
@@ -124,9 +180,13 @@ def main():
         v = init_model.init(jax.random.PRNGKey(0), jnp.zeros((128, feature_dim)))
     print("init done", file=sys.stderr)
 
-    stats = bench_tpu(corpus, model, jax.device_put(v))
+    v_dev = jax.device_put(v)
+    stats = bench_tpu(corpus, model, v_dev)
     per_chip = stats["trimmed_mean"] / n_chips
     print("tpu bench done", file=sys.stderr)
+    dev_stats = bench_device_time(corpus, model, v_dev)
+    dev_per_chip = dev_stats["device_trimmed_mean"] / n_chips
+    print("device-time bench done", file=sys.stderr)
 
     p = jax.tree.map(np.asarray, v["params"])
     flat = {
@@ -156,6 +216,16 @@ def main():
                 "spread_pct": round(stats["iqr_pct"], 1),
                 "noisy": bool(stats["iqr_pct"] >= 10.0),
                 "reps": stats["reps"],
+                # device-only throughput (slope over in-loop trip
+                # counts): tunnel round-trips cancel, so THIS is the
+                # cross-round regression gate — the wall headline above
+                # drifts ~2.6x/day with remote-tunnel state
+                "device_chunks_per_sec": round(dev_per_chip, 1),
+                "device_vs_baseline": round(
+                    dev_per_chip / torch_chunks_per_sec, 2),
+                "device_spread_pct": round(
+                    dev_stats["device_iqr_pct"], 1),
+                "device_noisy": bool(dev_stats["device_iqr_pct"] >= 10.0),
             }
         )
     )

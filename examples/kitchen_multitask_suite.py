@@ -97,6 +97,28 @@ OBS_KEYS = [
 ]
 
 
+def _check_corpus_obs_keys(path):
+    """Fail fast if a pre-existing corpus predates an OBS_KEYS change.
+
+    collect() skips existing hdf5 files, so re-running the suite over a
+    corpus collected before a new obs key (e.g. obj_state) was added
+    would otherwise crash with a bare KeyError deep inside training
+    setup (data/dataset.py)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        demos = list(f["data"].keys())
+        if not demos:
+            return
+        have = set(f["data"][demos[0]]["obs"].keys())
+    missing = [k for k in OBS_KEYS if k != "lang_emb" and k not in have]
+    if missing:
+        raise SystemExit(
+            f"corpus {path} lacks obs keys {missing} (collected before "
+            f"they were added); re-run with --recollect or point "
+            f"--corpus_dir elsewhere")
+
+
 def collect(args):
     from lipvq_tpu.scripts.collect_kitchen_suite import collect_task
 
@@ -112,6 +134,7 @@ def collect(args):
     for task, seed, layout, style in tasks:
         path = os.path.join(corpus_dir, f"{task}.hdf5")
         if os.path.exists(path) and not args.recollect:
+            _check_corpus_obs_keys(path)
             paths[task] = path
             continue
         t0 = time.time()
@@ -174,6 +197,11 @@ def make_config(args, paths):
         # the short-demo precision tasks
         "normalize_weights_by_ds_size": bool(
             getattr(args, "balance_tasks", False)),
+        # training seed (init + dropout + loader shuffling): headline
+        # tables report mean±range over >=3 seeds because multi-task
+        # capacity allocation is retrain-sensitive (±0.4/task observed
+        # across dwell retrains at identical final LL, BASELINE.md r4)
+        "seed": int(getattr(args, "train_seed", 1)),
         "output_dir": os.path.join(args.out, "run"),
     })
     d["experiment"].update({
@@ -333,6 +361,20 @@ def main():
     ap.add_argument("--screen_last", type=int, default=3,
                     help="screen only the newest K periodic checkpoints "
                          "(env stepping on a 1-vCPU host is the cost)")
+    ap.add_argument("--train_seed", type=int, default=1,
+                    help="training seed (model init + dropout + data "
+                         "shuffling); replicate headline runs over >=3 "
+                         "seeds — retrain variance is the dominant noise "
+                         "source (±0.4/task, BASELINE.md r4)")
+    ap.add_argument("--screen_topk", type=int, default=0,
+                    help="successive-halving screen: after the wide "
+                         "--screen_episodes pass, re-screen the top K "
+                         "checkpoints at --screen_topk_episodes and pick "
+                         "the winner from the re-screen (3-5-ep screens "
+                         "overestimate 20-ep means by 0.06-0.2; "
+                         "BASELINE.md r4). 0 = pick from the wide pass")
+    ap.add_argument("--screen_topk_episodes", type=int, default=10,
+                    help="episodes/task for the --screen_topk re-screen")
     ap.add_argument("--screen_epochs", type=str, default="",
                     help="comma-separated epoch numbers to screen (e.g. "
                          "'120,240'); overrides --screen_last. Long runs "
@@ -477,7 +519,11 @@ def main():
                 ck = max(cks, key=os.path.getmtime)
                 if time.time() - os.path.getmtime(ck) < 5:
                     continue
-                tag = f"model_epoch_{e}"
+                # cache keyed by (epoch, ckpt mtime): a resumed run can
+                # re-produce the same epoch in a new run dir; an epoch-
+                # only key would silently serve the OLD run's stale
+                # screen rates for the new weights
+                tag = f"model_epoch_{e}_{int(os.path.getmtime(ck))}"
                 t0 = time.time()
                 tbl = evaluate(args, paths, ck,
                                episodes=args.screen_episodes,
@@ -563,7 +609,8 @@ def main():
             to_screen = ckpts[-args.screen_last:]
         tables = {}
         for ck in to_screen:
-            tag = os.path.splitext(os.path.basename(ck))[0]
+            tag = (os.path.splitext(os.path.basename(ck))[0]
+                   + f"_{int(os.path.getmtime(ck))}")
             t0 = time.time()
             tbl = evaluate(args, paths, ck, episodes=args.screen_episodes,
                            cache_name=f"screen_{tag}.json")
@@ -580,20 +627,67 @@ def main():
         screen = {ck: sum(t[k] for k in common) / len(common)
                   for ck, t in tables.items()}
         ckpt_path = max(screen, key=screen.get)
+        screen_mean_winner = screen[ckpt_path]
+        rescreen = {}
+        if args.screen_topk > 0 and len(screen) > 1:
+            # successive halving: wide low-episode screens OVERESTIMATE
+            # the 20-ep mean by 0.06-0.2 via selection over noise
+            # (BASELINE.md r4) and can pick the wrong checkpoint; the
+            # top-K get a >=10-ep re-screen and the winner comes from
+            # THAT, matching the reference's 50-rollout selection
+            # fidelity (config_gen_utils.py:150-164) at a fraction of
+            # the episode budget
+            top = sorted(screen, key=screen.get,
+                         reverse=True)[:args.screen_topk]
+            for ck in top:
+                tag = (os.path.splitext(os.path.basename(ck))[0]
+                       + f"_{int(os.path.getmtime(ck))}")
+                t0 = time.time()
+                tbl = evaluate(args, paths, ck,
+                               episodes=args.screen_topk_episodes,
+                               cache_name=f"rescreen_{tag}.json")
+                ks = [k for k in common if k in tbl]
+                if not ks:
+                    continue
+                rescreen[ck] = sum(tbl[k] for k in ks) / len(ks)
+                print(f"[rescreen] {tag}: mean={rescreen[ck]:.3f} "
+                      f"({args.screen_topk_episodes} eps, "
+                      f"{time.time() - t0:.0f}s)", flush=True)
+            if rescreen:
+                ckpt_path = max(rescreen, key=rescreen.get)
+                screen_mean_winner = rescreen[ckpt_path]
         print(f"[screen] best: {os.path.basename(ckpt_path)} "
-              f"(mean {screen[ckpt_path]:.3f})", flush=True)
+              f"(mean {screen_mean_winner:.3f})", flush=True)
         with open(os.path.join(args.out, "screen_table.json"), "w") as f:
-            json.dump({os.path.basename(k): v for k, v in screen.items()},
-                      f, indent=2)
+            json.dump({
+                "screen": {os.path.basename(k): v
+                           for k, v in screen.items()},
+                "rescreen": {os.path.basename(k): v
+                             for k, v in rescreen.items()},
+                "screen_episodes": args.screen_episodes,
+                "rescreen_episodes": (args.screen_topk_episodes
+                                      if rescreen else None),
+            }, f, indent=2)
+    else:
+        screen_mean_winner = None
 
     table = evaluate(args, paths, ckpt_path)
     mean = sum(table.values()) / len(table)
-    print(json.dumps({"per_task": table, "mean": round(mean, 3),
-                      "episodes_per_task": args.eval_episodes,
-                      "ckpt": os.path.basename(ckpt_path)}))
+    out = {"per_task": table, "mean": round(mean, 3),
+           "episodes_per_task": args.eval_episodes,
+           "train_seed": args.train_seed,
+           "ckpt": os.path.basename(ckpt_path)}
+    if screen_mean_winner is not None:
+        # screen-vs-final bias estimate: how much the selection screen
+        # overestimated the winner's full-eval mean
+        out["screen_mean_winner"] = round(screen_mean_winner, 3)
+        out["screen_bias"] = round(screen_mean_winner - mean, 3)
+        print(f"[bias] winner screen mean {screen_mean_winner:.3f} vs "
+              f"final {mean:.3f} (bias {screen_mean_winner - mean:+.3f})",
+              flush=True)
+    print(json.dumps(out))
     with open(os.path.join(args.out, "success_table.json"), "w") as f:
-        json.dump({"per_task": table, "mean": mean,
-                   "ckpt": os.path.basename(ckpt_path)}, f, indent=2)
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,9 @@ class ICLTransformerGMM(PolicyAlgo):
         self._fast_tok = None
         self._fast_emb_cache = {}
         self._fast_lang = None
+        self._fast_frozen = False  # fit accumulates early batches
+        self._fast_fit_buf = []
+        self._fast_missing_from_ckpt = False
 
         spec = obs_spec(self.obs_shapes)
         group_specs = [("obs", spec)]
@@ -268,11 +271,39 @@ class ICLTransformerGMM(PolicyAlgo):
         DCT+BPE token strings (reference obs_nets.py:1306-1334, batched
         per SURVEY.md §7). Fits the tokenizer on the first batch seen."""
         chunks = np.asarray(actions, np.float32)
-        if self._fast_tok is None:
+        if self._fast_tok is None and getattr(
+                self, "_fast_missing_from_ckpt", False):
+            # a checkpoint that should have carried the fitted tokenizer
+            # did not: fitting here would evaluate with a vocabulary
+            # unrelated to training (silently wrong rollouts)
+            raise RuntimeError(
+                "fast_enabled checkpoint has no FASTCKPT payload; "
+                "re-save the checkpoint from a FAST training run")
+        if self._fast_tok is None or not getattr(
+                self, "_fast_frozen", True):
+            # fit over ACCUMULATED batches, not just the first one: a
+            # single ~64-window batch makes the quantile bounds and BPE
+            # vocabulary shuffle-order-dependent (the reference uses a
+            # corpus-level pretrained tokenizer). The tokenizer refits
+            # on the growing buffer each early batch and freezes once
+            # ~2k windows (or 8 batches) are seen; the few early batches
+            # tokenized under interim vocabularies are one-off noise in
+            # a 36k-step run, and the checkpoint carries the frozen fit.
             from lipvq_tpu.models.tokenizers.fast import FastActionTokenizer
 
-            self._fast_tok = FastActionTokenizer(vocab_size=1024)
-            self._fast_tok.fit(chunks)
+            buf = getattr(self, "_fast_fit_buf", [])
+            buf.append(chunks)
+            self._fast_fit_buf = buf
+            corpus = np.concatenate(buf, axis=0)
+            tok = FastActionTokenizer(vocab_size=1024)
+            tok.fit(corpus)
+            self._fast_tok = tok
+            self._fast_emb_cache = {}  # vocab changed: embeddings stale
+            if corpus.shape[0] >= 2048 or len(buf) >= 8:
+                self._fast_frozen = True
+                self._fast_fit_buf = []
+            else:
+                self._fast_frozen = False
         if self._fast_lang is None:
             from lipvq_tpu.utils.lang_utils import LangEncoder
 
@@ -477,34 +508,45 @@ class ICLTransformerGMM(PolicyAlgo):
         stream; non-FAST payloads stay plain flax bytes."""
         if not self.fast_enabled or self._fast_tok is None:
             return base
-        import pickle
         import tempfile
+
+        from flax.serialization import msgpack_serialize
 
         tok = self._fast_tok
         with tempfile.NamedTemporaryFile(suffix=".bpe") as f:
             tok.bpe.save(f.name)
             bpe_bytes = open(f.name, "rb").read()
-        return b"FASTCKPT" + pickle.dumps(
+        # flax msgpack, NOT pickle: the repo's checkpoint format is
+        # msgpack end-to-end (file_utils.py) so loading an untrusted
+        # file never executes code; every field is an array/int/bytes
+        return b"FASTCKPT" + msgpack_serialize(
             {"base": base,
-             "fast": {"lo": tok.lo, "hi": tok.hi,
-                      "vocab_size": tok.vocab_size, "bpe": bpe_bytes}})
+             "fast": {"lo": np.asarray(tok.lo, np.float32),
+                      "hi": np.asarray(tok.hi, np.float32),
+                      "vocab_size": int(tok.vocab_size),
+                      "bpe": bpe_bytes}})
 
     def _unwrap_fast(self, payload: bytes) -> bytes:
         if payload[:8] != b"FASTCKPT":
+            if self.fast_enabled:
+                # eval must never lazily re-fit an unrelated vocabulary
+                self._fast_missing_from_ckpt = True
             return payload
-        import pickle
         import tempfile
+
+        from flax.serialization import msgpack_restore
 
         from lipvq_tpu.models.tokenizers.fast import FastActionTokenizer
 
-        d = pickle.loads(payload[8:])
-        tok = FastActionTokenizer(vocab_size=d["fast"]["vocab_size"])
+        d = msgpack_restore(bytes(payload[8:]))
+        tok = FastActionTokenizer(vocab_size=int(d["fast"]["vocab_size"]))
         tok.lo, tok.hi = d["fast"]["lo"], d["fast"]["hi"]
         with tempfile.NamedTemporaryFile(suffix=".bpe") as f:
             f.write(d["fast"]["bpe"])
             f.flush()
             tok.bpe.load(f.name)
         self._fast_tok = tok
+        self._fast_frozen = True
         self._fast_emb_cache = {}
         return d["base"]
 
