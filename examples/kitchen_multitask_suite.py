@@ -159,8 +159,18 @@ def make_config(args, paths):
     from lipvq_tpu.utils.test_utils import icl_test_config_overrides
 
     d = icl_test_config_overrides()
+    tw = {}
+    for kv in getattr(args, "task_weights", "").split(","):
+        if kv.strip():
+            k, v = kv.split("=")
+            tw[k.strip()] = float(v)
     d["train"].update({
-        "data": [{"path": p, "weight": 1.0} for p in paths.values()],
+        # per-task mixture weight (default 1.0): with --balance_tasks
+        # the per-TASK sampling probability is proportional to the
+        # weight (MetaDataset normalize_weights_by_ds_size divides by
+        # ds length first), so "OpenSingleDoor=2" doubles OSD's share
+        "data": [{"path": p, "weight": tw.get(t, 1.0)}
+                 for t, p in paths.items()],
         # MetaDataset rejects hdf5_cache_mode="all" (reference quirk,
         # dataset.py:1080-1082). "device" = the TPU-native HBM-resident
         # corpus cache: the host loader dominated suite epochs on this
@@ -243,6 +253,16 @@ def make_config(args, paths):
         "initial": 1e-3, "scheduler_type": "none"}}}
     d["algo"]["vq"] = {"num_codes": 512}
     d["observation"]["modalities"]["obs"]["low_dim"] = list(OBS_KEYS)
+    if getattr(args, "backbone", "transformer") == "mamba":
+        # the reference's second ICL algorithm (algo/icl_mamba.py,
+        # Appendix B.7): same composite encoder + heads, associative-
+        # scan Mamba backbone instead of the GPT. Size knobs transfer
+        # (embed_dim/num_layers); the SSM dims follow the reference
+        # (obs_nets.py:2748-2753)
+        mb = d["algo"].pop("transformer")
+        mb.update({"d_state": 8, "d_conv": 4, "expand": 2})
+        d["algo"]["mamba"] = mb
+        return config_factory("icl_mamba", d)
     return config_factory("icl", d)
 
 
@@ -402,6 +422,11 @@ def main():
                     help="action tokenizer for the ICL context stream — "
                          "the paper's ablation axis (reference "
                          "icl_config.py:154-157)")
+    ap.add_argument("--backbone", choices=("transformer", "mamba"),
+                    default="transformer",
+                    help="ICL sequence backbone: the reference's two ICL "
+                         "algorithms (icl.py GPT / icl_mamba.py SSM); "
+                         "mamba reuses --embed_dim/--num_layers")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--embed_dim", type=int, default=256)
     ap.add_argument("--num_layers", type=int, default=4,
@@ -424,6 +449,11 @@ def main():
                          "corpora leave the policy no recovery data)")
     ap.add_argument("--dwell_prob", type=float, default=0.0,
                     help="random hold-in-place injection during collection\n(clean progress labels at frozen states): decorrelates trajectory\ntime from state so the policy learns state-conditioned phase\nprogression (the OpenSingleDoor study)")
+    ap.add_argument("--task_weights", type=str, default="",
+                    help="comma-separated Task=weight mixture overrides "
+                         "(e.g. 'OpenSingleDoor=2'); with --balance_tasks "
+                         "the per-task sampling share is proportional to "
+                         "the weight")
     ap.add_argument("--recollect", action="store_true")
     ap.add_argument("--balance_tasks", action="store_true",
                     help="equal per-TASK sampling probability in the "
