@@ -38,7 +38,11 @@ while true; do
         sleep 30
         cpu=$(awk '{print $14 + $15}' "/proc/$pid/stat" 2>/dev/null || true)
         if [ -z "$cpu" ]; then break; fi
-        if [ "$cpu" == "$last_cpu" ]; then
+        # delta threshold, not equality: a wedged device call still
+        # accrues ~1 tick/30s from signal housekeeping, which reset the
+        # equality-based stall counter and let wedges run for 30 min
+        # (observed round 5, three consecutive S3 wedges)
+        if [ -n "$last_cpu" ] && [ $((cpu - last_cpu)) -lt 3 ]; then
             stalled=$((stalled + 30))
         else
             stalled=0
